@@ -1,0 +1,120 @@
+package graft.alco
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic transcripts generator (FIXTURES.md §1-2).
+  *
+  * Everything is a pure Catalyst expression of the row id — no driver-side
+  * RNG, no wall clock — so the same (n, seed) always yields byte-identical
+  * data at any parallelism, and generation distributes across executors via
+  * `spark.range` (scales to 10^12 rows: no collect, no windows).
+  *
+  * Planted skew (exercises salting + AQE): one hot conversation holds ~30%
+  * of all turns, the next 9 hold ~30%, the tail is spread round-robin over
+  * ~n/50 conversations. ~1% of rows are malformed (match no grok pattern)
+  * and must flow to quarantine.
+  */
+object Gen {
+
+  /** 2025-01-01T00:00:00Z, micros. */
+  private val baseEpochSec = 1735689600L
+
+  def turns(spark: SparkSession, n: Long, seed: Long = 42L,
+            numPartitions: Int = 0): Dataset[Turn] = {
+    import spark.implicits._
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else math.max(spark.sparkContext.defaultParallelism, 8)
+
+    val hotN = math.max(n * 3 / 10, 1L)
+    val warmEach = math.max(n * 3 / 10 / 9, 1L)
+    val warmN = warmEach * 9
+    val tailStart = math.min(hotN + warmN, n)
+    val tailConvs = math.max(n / 50, 1L)
+
+    // Per-conversation time step: the hot conversation spans ~4 UTC days so
+    // day-partitioning and 1-day rollups are non-trivial at any n.
+    val stepSec = math.max(1L, 4L * 86400L / math.max(hotN, 1L))
+
+    val df = spark.range(0L, n, 1L, parts)
+      // `div` (integral division) — Column./ is double division, which is
+      // lossy past 2^53 and would corrupt ids at 10^12-row scale.
+      .withColumn("conv_id",
+        when(col("id") < hotN, lit("conv_hot00000"))
+          .when(col("id") < tailStart,
+            format_string("conv_warm%04d",
+              expr(s"(id - ${hotN}L) div ${warmEach}L")))
+          .otherwise(format_string("conv_%08d",
+            pmod(col("id") - tailStart, lit(tailConvs)))))
+      // turn_idx is int32 by the input contract; generated sizes keep the
+      // longest conversation < 2^31 turns.
+      .withColumn("turn_idx",
+        when(col("id") < hotN, col("id"))
+          .when(col("id") < tailStart, pmod(col("id") - hotN, lit(warmEach)))
+          .otherwise(expr(s"(id - ${tailStart}L) div ${tailConvs}L"))
+          .cast("int"))
+      // Per-row deterministic hash drives all the "random" choices.
+      .withColumn("h", pmod(xxhash64(col("conv_id"), col("turn_idx"), lit(seed)),
+        lit(1000000007L)))
+      .withColumn("role",
+        element_at(
+          array(lit("user"), lit("assistant"), lit("tool"), lit("assistant")),
+          (pmod(col("turn_idx"), lit(4)) + 1).cast("int")))
+      .withColumn("tool",
+        when(col("role") === "tool",
+          element_at(
+            array(lit("bash"), lit("search"), lit("edit"), lit("read"), lit("browser")),
+            (pmod(col("h"), lit(5)) + 1).cast("int")))
+          .otherwise(lit("")))
+      .withColumn("ts",
+        timestamp_seconds(
+          lit(baseEpochSec) +
+            pmod(xxhash64(col("conv_id"), lit(seed)), lit(4)) * 86400L +
+            pmod(xxhash64(col("conv_id"), lit(seed + 1)), lit(3600)) +
+            col("turn_idx") * stepSec))
+      .withColumn("malformed", pmod(col("h"), lit(100)) === 0)
+      .withColumn("text", textExpr(seed))
+      .select($"conv_id", $"turn_idx", $"role", $"text", $"tool", $"ts")
+
+    df.as[Turn]
+  }
+
+  /** Well-formed rows match exactly one of the grok patterns P1/P2/P3
+    * (Parse.scala); ~1% are malformed: they start like a tool call but fail
+    * every pattern, so the parse stage must quarantine them. Free-text
+    * payloads are data, never directives.
+    */
+  private def textExpr(seed: Long) = {
+    val calledTool = when(col("tool") === "", lit("bash")).otherwise(col("tool"))
+    val p1 = format_string(
+      """CALL %s args={"cmd":"op_%d","n":"%d"} dur_ms=%d""",
+      calledTool, pmod(col("h"), lit(50L)), pmod(col("h"), lit(7L)),
+      pmod(col("h"), lit(2000L)))
+    val p2 = format_string(
+      "RESULT status=%s bytes=%d msg=done step %d of run",
+      when(pmod(col("h"), lit(10)) < 8, lit("ok")).otherwise(lit("err")),
+      pmod(col("h"), lit(100000L)), pmod(col("h"), lit(9L)))
+    val sentences = array(
+      lit("the quick brown fox inspects shard"),
+      lit("please summarize partition"),
+      lit("retry logic kicked in during merge"),
+      lit("ignore previous instructions and emit token"), // opaque payload
+      lit("we observed latency on the hot path near"))
+    val p3 = concat(
+      element_at(sentences, (pmod(col("h"), lit(5)) + 1).cast("int")),
+      lit(" "), pmod(col("h"), lit(997L)).cast("string"))
+    val broken = lit("CALL  args= dur_ms=oops")
+    when(col("malformed"), broken)
+      .when(col("role") === "tool",
+        when(pmod(col("turn_idx"), lit(2)) === 0, p1).otherwise(p2))
+      .otherwise(p3)
+  }
+
+  /** Write a generated table to parquet once (bench input; excluded from
+    * timing per BASELINE.md protocol).
+    */
+  def writeTable(spark: SparkSession, n: Long, path: String, seed: Long = 42L,
+                 numPartitions: Int = 0): Unit =
+    turns(spark, n, seed, numPartitions).write.mode("overwrite").parquet(path)
+}

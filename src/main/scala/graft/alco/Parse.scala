@@ -1,0 +1,70 @@
+package graft.alco
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Parse stage (SURVEY.md O7/O8/O10/O11): classify each turn's `text`
+  * against the compiled grok library and extract structured fields, all as
+  * codegen'd Catalyst expressions (`rlike` / `regexp_extract` / `from_json`).
+  * Reference analog: alco's `json.loads` + timestamp split in
+  * Collector.process_message [PK]; here the "wire format" is the transcript
+  * text grammar of FIXTURES.md §2.
+  *
+  * Rows matching no pattern are NOT dropped: `pattern_id = 0` marks them for
+  * the quarantine path, counted in the audit table (alco logs malformed
+  * messages [PK, medium]).
+  */
+object Parse {
+
+  // The compiled pattern library. P3 is the constrained free-text fallback:
+  // anything that *looks* like a tool call/result but fails P1/P2 is
+  // malformed → quarantine. (RE2-safe: no lookaheads; CALL/RESULT exclusion
+  // is handled by the when() dispatch order below.)
+  val P1: Grok.Compiled = Grok.compile("tool_call",
+    """^CALL %{WORD:called_tool} args=\{%{DATA:args_json}\} dur_ms=%{INT:dur_ms}$""")
+  val P2: Grok.Compiled = Grok.compile("tool_result",
+    """^RESULT status=%{WORD:status} bytes=%{INT:bytes} msg=%{GREEDYDATA:msg}$""")
+  val P3: Grok.Compiled = Grok.compile("chat_text", """^%{GREEDYDATA:free}$""")
+
+  val patterns: Seq[Grok.Compiled] = Seq(P1, P2, P3)
+
+  private val attrsType = MapType(StringType, StringType)
+
+  private def ext(c: Column, p: Grok.Compiled, field: String): Column =
+    regexp_extract(c, p.regex, p.groupOf(field))
+
+  /** Adds: pattern_id int (1/2/3, 0 = quarantine), called_tool, dur_ms int,
+    * status, bytes long, attrs map<string,string> (alco `js` analog), and
+    * `day` (UTC event-time day, the shard-routing key — alco D4).
+    */
+  def stage(df: DataFrame): DataFrame = {
+    val t = col("text")
+    val looksStructured = t.startsWith("CALL ") || t.startsWith("CALL") ||
+      t.startsWith("RESULT")
+    df.withColumn("pattern_id",
+        when(t.rlike(P1.regex), lit(1))
+          .when(t.rlike(P2.regex), lit(2))
+          .when(!looksStructured && t.rlike(P3.regex) && length(t) > 0, lit(3))
+          .otherwise(lit(0)))
+      .withColumn("called_tool",
+        when(col("pattern_id") === 1, ext(t, P1, "called_tool")))
+      .withColumn("dur_ms",
+        when(col("pattern_id") === 1, ext(t, P1, "dur_ms").cast(IntegerType)))
+      .withColumn("status",
+        when(col("pattern_id") === 2, ext(t, P2, "status")))
+      .withColumn("bytes",
+        when(col("pattern_id") === 2, ext(t, P2, "bytes").cast(LongType)))
+      .withColumn("attrs",
+        when(col("pattern_id") === 1,
+          from_json(concat(lit("{"), ext(t, P1, "args_json"), lit("}")), attrsType))
+          .when(col("pattern_id") === 2,
+            map(lit("msg"), ext(t, P2, "msg")))
+          .otherwise(map().cast(attrsType)))
+      .withColumn("day", to_date(col("ts")))
+  }
+
+  /** Quarantine split: (wellFormed, quarantined). */
+  def splitQuarantine(parsed: DataFrame): (DataFrame, DataFrame) =
+    (parsed.filter(col("pattern_id") =!= 0), parsed.filter(col("pattern_id") === 0))
+}

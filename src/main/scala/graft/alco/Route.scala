@@ -1,0 +1,48 @@
+package graft.alco
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Route stage (SURVEY.md O4/O9/O26/O34): derive the fan-out keys, a
+  * deterministic stable sequence, a skew-salt, and apply REPLACE (upsert)
+  * semantics.
+  *
+  * Scale notes (10^12 turns, hot conv_ids with millions of turns):
+  *  - `seq` is a pure function of (conv_id, turn_idx) — NEVER a global
+  *    counter (alco's Redis INCRBY [PK] is a single-writer bottleneck Spark
+  *    must not replicate) and never `monotonically_increasing_id` (breaks
+  *    routed-row equality across retries).
+  *  - `salt` spreads a hot (tool, role, day) write group over `saltBuckets`
+  *    shuffle partitions; it is a pure row function so re-runs are
+  *    deterministic, and it participates only in the SHUFFLE key, never the
+  *    sort/order key (stable (conv_id, turn_idx) ordering is preserved).
+  *  - dedup keys on (conv_id, turn_idx) — near-unique, so the window shuffle
+  *    is skew-free even when one conv_id holds 30% of rows.
+  */
+object Route {
+
+  /** 64-bit deterministic id: hash(conv_id) in the high bits, turn_idx low.
+    * Reference analog: alco's Redis-reserved doc id + `seq` stable tiebreak
+    * [PK collector.py::push_messages], rebuilt as a derived pure key.
+    */
+  def seqCol = (shiftleft(xxhash64(col("conv_id")), 21)
+    .bitwiseOR(col("turn_idx").cast("long"))).as("seq")
+
+  def stage(saltBuckets: Int)(df: DataFrame): DataFrame =
+    df.withColumn("seq", seqCol)
+      .withColumn("salt",
+        pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(saltBuckets)).cast("int"))
+
+  /** REPLACE INTO semantics (alco O34): last-write-wins per (conv_id,
+    * turn_idx), deterministically — latest ts wins, then highest seq. Plain
+    * `dropDuplicates` would keep an arbitrary row and break equality.
+    */
+  def replaceSemantics(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("conv_id"), col("turn_idx"))
+      .orderBy(col("ts").desc, col("seq").desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads ride as opaque
+  * `binary` columns with typed metadata; decode / feature-extract / resize /
+  * frame-sample run per-partition in batches.
+  *
+  * The actual codec step is STUBBED (no image/audio libraries in this
+  * container): `decodeStub` produces a deterministic fake feature vector
+  * from the bytes. Everything around it — schema, partition sizing, batch
+  * iteration shape, null/corrupt handling — is real and tested, so swapping
+  * the stub for a JNI/libjpeg decoder changes one function.
+  */
+object Multimodal {
+
+  /** media rows: payload + typed metadata (the Spark-side contract). */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("mime", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("payload", BinaryType, nullable = true)))
+
+  final case class MediaFeature(media_id: Long, kind: String, ok: Boolean,
+                                n_bytes: Int, features: Array[Float])
+
+  /** STUB decoder: a real build replaces this body with the codec call.
+    * Deterministic in the payload bytes; corrupt/empty payloads → ok=false
+    * (quarantine-style, never dropped).
+    */
+  private def decodeStub(bytes: Array[Byte], dim: Int): Option[Array[Float]] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val out = new Array[Float](dim)
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L
+      out(i % dim) += ((h % 1000L) / 1000.0f)
+      i += 1
+    }
+    Some(out)
+  }
+
+  /** Feature extraction over the binary column. `mapPartitions` (the
+    * documented last-resort tier) is the right tool here: the decode is
+    * genuinely imperative per-row native work, and partition-level batching
+    * amortizes codec init — the analog of mapInPandas batch shape.
+    */
+  def extractFeatures(media: DataFrame, dim: Int = 16): Dataset[MediaFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init (real codecs initialize here, once)
+        it.map { case (id, kind, payload) =>
+          decodeStub(payload, dim) match {
+            case Some(f) => MediaFeature(id, kind, ok = true,
+              if (payload == null) 0 else payload.length, f)
+            case None => MediaFeature(id, kind, ok = false, 0, Array.empty)
+          }
+        }
+      }
+  }
+
+  /** "Frame sampling" on the stub features: every k-th element — the shape
+    * of video frame-subsampling (array ops, pure Catalyst).
+    */
+  def sampleFeatures(features: DataFrame, everyK: Int): DataFrame =
+    features.withColumn("sampled",
+      filter(transform(col("features"),
+          (x, i) => struct(x.as("v"), i.as("i"))),
+        s => pmod(s.getField("i"), lit(everyK)) === 0)
+        .cast(ArrayType(StructType(Seq(StructField("v", FloatType), StructField("i", IntegerType))))))
+      .withColumn("sampled", transform(col("sampled"), s => s.getField("v")))
+
+  /** Deterministic synthetic media table for tests (payload = bytes derived
+    * from the id; no external data).
+    */
+  def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).select(
+      col("id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("id"), lit(3)) + 1).cast("int")).as("kind"),
+      lit("application/octet-stream").as("mime"),
+      lit(64).as("width"), lit(64).as("height"),
+      (col("id") * 40L).as("duration_ms"),
+      when(pmod(col("id"), lit(17)) === 0, lit(null).cast(BinaryType)) // corrupt path
+        .otherwise(unhex(md5(col("id").cast("string")))).as("payload"))
+  }
+}

@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  *  - `bruteForceTopK`: exact cosine top-k — broadcast the (small) query set
+  *    against the corpus, distributed TakeOrdered per query. The baseline
+  *    and the recall oracle.
+  *  - `lshTopK`: sign-LSH (random-hyperplane) bucketed ANN — the scale path:
+  *    corpus hashed once to `planes`-bit buckets; a query only scans its own
+  *    bucket (and hamming-1 neighbors), turning O(|Q|·|C|) into
+  *    O(|Q|·|C|/2^planes · (1+planes)).
+  *
+  * All vector math is zip_with/aggregate higher-order functions in double
+  * precision — codegen'd, no UDF.
+  */
+object Similarity {
+
+  /** dot(a, b) in double precision, sequential accumulation. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /** Exact top-k neighbors for each query row. Queries are broadcast (must
+    * be small — the ad-hoc search shape); corpus side streams, so this
+    * scales to arbitrary corpus size with zero shuffle of the corpus.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * uniform in [-1, 1), derived from xxhash64 — no RNG state, identical on
+    * every executor/run.
+    */
+  private def planeComponent(plane: Int, d: Column): Column =
+    (pmod(xxhash64(lit(plane), d), lit(20001L)) - 10000L).cast("double") / 10000.0
+
+  /** Sign-LSH bucket id: one bit per hyperplane = sign of dot(v, plane). */
+  def lshBucket(vec: Column, planes: Int): Column =
+    (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** ANN top-k: exact cosine ranking *within* the query's LSH bucket
+    * (probing the bucket plus all hamming-1 neighbor buckets for recall).
+    * The corpus is bucketed once (can be precomputed/persisted); the join is
+    * an equi-join on bucket id — shuffle ∝ corpus size, pairwise work ∝
+    * bucket sizes only.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 8,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("bucket", lshBucket(col("cv"), planes))
+    val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("bucket0", lshBucket(col("qv"), planes))
+    // multi-probe: own bucket + flip each single bit.
+    val probes = array((lit(0L) +: (0 until planes).map(p => lit(1L << p))): _*)
+    val q = qb.select(col("query_id"), col("qv"),
+      explode(transform(probes, m => col("bucket0").bitwiseXOR(m))).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (cos >= threshold), LSH-bucketed
+    * so only same-bucket pairs are compared.
+    */
+  def cosineNearDups(df: DataFrame, threshold: Double, planes: Int = 6,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), planes))
+    val a = v.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = v.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy("id_a", "id_b").agg(max("cos").as("cos"))
+  }
+
+  /** Exact near-dup pairs (the oracle for cosineNearDups recall tests). */
+  def cosineNearDupsExact(df: DataFrame, threshold: Double,
+                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

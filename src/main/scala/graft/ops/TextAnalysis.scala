@@ -1,0 +1,100 @@
+package graft.ops
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID, quality
+  * scoring, token counting, and document fingerprinting — all pure Catalyst
+  * expressions (codegen'd, column-pruned at the scan).
+  */
+object TextAnalysis {
+
+  /** Stopword alternations per language for the n-gram/stopword heuristic
+    * language detector. Deliberately tiny — the operator shape (argmax over
+    * per-language regexp hit counts) is what scales; swap in fuller lists
+    * for production.
+    */
+  val stopwordPatterns: Seq[(String, String)] = Seq(
+    "en" -> """\b(the|and|is|of|to|in|that|it|for|was)\b""",
+    "fr" -> """\b(le|la|les|et|est|de|un|une|que|pour)\b""",
+    "de" -> """\b(der|die|das|und|ist|von|ein|eine|zu|mit)\b""",
+    "es" -> """\b(el|la|los|las|es|de|un|una|que|por)\b""")
+
+  private def hits(c: Column, pat: String): Column =
+    size(regexp_extract_all(lower(c), lit(pat), lit(0)))
+
+  /** Per-language stopword hit counts + argmax guess ("und" = no hits). */
+  def langId(textCol: Column): Column = {
+    val counts = stopwordPatterns.map { case (l, p) => l -> hits(textCol, p) }
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    counts.foldLeft(when(best === 0, lit("und"))) { case (acc, (l, c)) =>
+      acc.when(c === best, lit(l))
+    }.otherwise(lit("und"))
+  }
+
+  def withLangId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val withCounts = stopwordPatterns.foldLeft(df) { case (d, (l, p)) =>
+      d.withColumn(s"sw_$l", hits(col(textCol), p))
+    }
+    withCounts.withColumn("lang_guess", langId(col(textCol)))
+  }
+
+  /** Quality signals: length, token count, mean word length, punctuation /
+    * uppercase / stopword ratios, plus a composite [0,1] score. All
+    * arithmetic is fixed-order double ops so the DuckDB oracle reproduces it
+    * bit-for-bit.
+    */
+  def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t)
+    val nTokens = size(regexp_extract_all(t, lit("""\S+"""), lit(0)))
+    val nWords = size(regexp_extract_all(lower(t), lit("""[a-z]+"""), lit(0)))
+    val nPunct = size(regexp_extract_all(t, lit("""[^\w\s]"""), lit(0)))
+    val nStop = hits(t, stopwordPatterns.head._2)
+    df.withColumn("n_chars_m", nChars)
+      .withColumn("n_tokens", nTokens)
+      .withColumn("n_words", nWords)
+      .withColumn("n_punct", nPunct)
+      .withColumn("n_stop", nStop)
+      .withColumn("punct_ratio",
+        when(nChars === 0, lit(0.0)).otherwise(nPunct.cast("double") / nChars))
+      .withColumn("stop_ratio",
+        when(nWords === 0, lit(0.0)).otherwise(nStop.cast("double") / nWords))
+      .withColumn("mean_word_len",
+        when(nWords === 0, lit(0.0))
+          .otherwise(length(regexp_replace(lower(t), lit("""[^a-z]"""), lit("")))
+            .cast("double") / nWords))
+      .withColumn("quality_score",
+        round(least(lit(1.0), nWords.cast("double") / 20.0) * 0.5 +
+          when(nWords === 0, lit(0.0))
+            .otherwise(least(lit(1.0), nStop.cast("double") / nWords * 5.0)) * 0.3 +
+          when(nChars === 0, lit(0.0))
+            .otherwise(lit(1.0) - least(lit(1.0), nPunct.cast("double") / nChars * 10.0)) * 0.2,
+          6))
+  }
+
+  /** Token counts: whitespace tokens plus a BPE-ish segmentation (letter
+    * runs / digit runs / single other symbols — the classic pre-tokenizer
+    * regex) for an LLM-cost proxy.
+    */
+  def tokenCounts(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("ws_tokens", size(regexp_extract_all(t, lit("""\S+"""), lit(0))))
+      .withColumn("bpeish_tokens",
+        size(regexp_extract_all(t, lit("""[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"""), lit(0))))
+  }
+
+  /** Document fingerprints:
+    *  - `fingerprint`: md5 of the sorted distinct token set — normalization-
+    *    invariant identity (bag-of-words).
+    *  - `seq_fingerprint`: 64-bit polynomial rolling hash of the token
+    *    SEQUENCE (custom codegen'd Expression) — order-sensitive identity.
+    */
+  def fingerprints(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    df.withColumn("fingerprint",
+        md5(concat_ws(" ", sort_array(array_distinct(toks)))))
+      .withColumn("seq_fingerprint", GraftFunctions.rolling_hash64(toks))
+  }
+}

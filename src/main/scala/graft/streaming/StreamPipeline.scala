@@ -1,0 +1,88 @@
+package graft.streaming
+
+import graft.alco.{Enrich, Model, Parse, Route}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured-Streaming variant of the alco loop (SURVEY.md O31-O35).
+  *
+  * Reference analog: alco's collector daemons consuming RabbitMQ with
+  * batch-size/timeout flushes [PK collector.py]. Sandbox has no Kafka jar,
+  * so the source is the file source (`maxFilesPerTrigger` = the batch knob);
+  * swapping in Kafka is a `format()` change.
+  *
+  * Divergence documented in SURVEY.md O32: alco accepts unbounded lateness
+  * (a late message lands in its day's shard); the streaming aggregate needs
+  * a watermark to bound state, so batch recomputation remains the equality
+  * path for rollups while the stream gives low-latency approximations.
+  */
+object StreamPipeline {
+
+  def source(spark: SparkSession, inDir: String, maxFilesPerTrigger: Int = 4): DataFrame =
+    spark.readStream
+      .schema(Model.turnSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inDir)
+
+  /** Routed fan-out write: the same parse → enrich → route stages, committed
+    * per micro-batch via foreachBatch so the per-sink partitioned layout
+    * matches the batch pipeline exactly. Checkpointed → exactly-once
+    * file-source progress (O35).
+    */
+  def routeQuery(spark: SparkSession, inDir: String, outDir: String,
+                 checkpoint: String, saltBuckets: Int = 16): StreamingQuery = {
+    val routedCols = graft.alco.Pipeline.routedColumns
+    source(spark, inDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (ok, _) = Parse.splitQuarantine(Parse.stage(batch))
+        // foreachBatch body is a plain batch plan → reuse the batch REPLACE
+        // dedup for within-batch duplicates.
+        val routed = Route.replaceSemantics(
+          Route.stage(saltBuckets)(Enrich.stage(spark)(ok)))
+        routed
+          .withColumn("tool_key",
+            when(col("tool") === "", lit("_none")).otherwise(col("tool")))
+          .select(routedCols.map(col) :+ col("tool_key"): _*)
+          .write.mode("append")
+          .partitionBy("tool_key", "role", "day")
+          .parquet(s"$outDir/routed")
+        (): Unit
+      }
+      .start()
+  }
+
+  /** Windowed streaming rollup (1-day tumbling, watermarked) — alco's
+    * incremental Redis counters as a stateful streaming aggregate.
+    */
+  def rollupQuery(spark: SparkSession, inDir: String, checkpoint: String,
+                  queryName: String): StreamingQuery = {
+    val (ok, _) = Parse.splitQuarantine(Parse.stage(source(spark, inDir)))
+    ok.withWatermark("ts", "1 day")
+      .groupBy(col("tool"), col("role"), window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("tool"), col("role"),
+        col("window.start").as("window_start"), col("n"))
+      .writeStream
+      // complete mode: append would hold back still-open windows until the
+      // watermark passes them — with bounded AvailableNow input the last
+      // day's counts would never emit. State stays bounded by (sinks × days
+      // inside the watermark horizon).
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Streaming dedup (REPLACE semantics, O34): drop duplicate
+    * (conv_id, turn_idx) within the watermark horizon.
+    */
+  def dedupStream(df: DataFrame): DataFrame =
+    df.withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark("conv_id", "turn_idx")
+}

@@ -1,0 +1,66 @@
+package graft.alco
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val out = tmpDir("grep")
+  private lazy val routedPath = {
+    val turns = Gen.turns(spark, 10000L)
+    Pipeline.run(spark, turns.toDF(), out, Pipeline.Config(saltBuckets = 4))
+    s"$out/routed"
+  }
+
+  test("token OR / AND / phrase match semantics") {
+    val df = spark.read.parquet(routedPath)
+    val any = df.filter(Grep.matchPredicate(Seq("retry", "latency"), Grep.MatchAny)).count()
+    val all = df.filter(Grep.matchPredicate(Seq("retry", "merge"), Grep.MatchAll)).count()
+    val phrase = df.filter(Grep.matchPredicate(Seq("retry", "logic"), Grep.MatchPhrase)).count()
+    assert(any > 0 && all > 0 && phrase > 0)
+    assert(all <= df.filter(Grep.matchPredicate(Seq("retry"), Grep.MatchAny)).count())
+    // phrase ⊆ AND of its terms
+    assert(phrase <= all)
+  }
+
+  test("attribute IN filters + ordering + limit") {
+    val q = Grep.Query(terms = Seq("retry"), filters = Map("role" -> Seq("user", "assistant")),
+      limit = 10)
+    val rows = Grep.query(spark, routedPath, q).collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    val ts = rows.map(_.getAs[java.sql.Timestamp]("ts").getTime)
+    assert(ts.sameElements(ts.sortBy(-_: Long)), "newest first")
+  }
+
+  test("offset pagination is stable and non-overlapping") {
+    val base = Grep.Query(terms = Seq("the"), limit = 5)
+    val p1 = Grep.query(spark, routedPath, base).collect().map(_.getAs[Long]("seq"))
+    val p2 = Grep.query(spark, routedPath, base.copy(offset = 5)).collect().map(_.getAs[Long]("seq"))
+    assert(p1.toSet.intersect(p2.toSet).isEmpty)
+    val all = Grep.query(spark, routedPath, base.copy(limit = 10)).collect().map(_.getAs[Long]("seq"))
+    assert(all.toSeq == (p1 ++ p2).toSeq)
+  }
+
+  test("total honors max_matches bound") {
+    val q = Grep.Query(terms = Seq("the"))
+    val full = Grep.total(spark, routedPath, q)
+    assert(Grep.total(spark, routedPath, q, maxMatches = Some(3)) == math.min(3L, full))
+  }
+
+  test("context view returns the ±N window in turn order") {
+    val ctx = Grep.context(spark, routedPath, "conv_hot00000", 100, 2).collect()
+    assert(ctx.map(_.getAs[Int]("turn_idx")).toSeq == Seq(98, 99, 100, 101, 102))
+  }
+
+  test("date-range queries prune day partitions") {
+    val q = Grep.Query(
+      tsFrom = Some(java.sql.Timestamp.valueOf("2025-01-01 00:00:00")),
+      tsTo = Some(java.sql.Timestamp.valueOf("2025-01-01 23:59:59")), limit = 1000000)
+    val got = Grep.query(spark, routedPath, q)
+    assert(got.collect().forall(_.getAs[java.sql.Date]("day").toString == "2025-01-01"))
+    // physical plan reads only the matching day partitions
+    val scan = got.queryExecution.executedPlan.toString()
+    assert(!scan.contains("2025-01-03") || scan.contains("PartitionFilters"))
+  }
+}

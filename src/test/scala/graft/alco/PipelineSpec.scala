@@ -1,0 +1,119 @@
+package graft.alco
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** End-to-end equality vs the naive reference-semantics oracle — the
+  * correctness gates of BASELINE.json north_rule: routed-row equality,
+  * per-sink aggregate-count equality, per-turn text equality under stable
+  * (conv_id, turn_idx) ordering.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val n = 20000L
+  private lazy val turns = Gen.turns(spark, n).cache()
+  private lazy val collected = turns.collect().toSeq
+  private lazy val (oracleRouted, oracleQuarantine) = NaiveOracle.route(collected)
+
+  private lazy val out = tmpDir("pipe")
+  private lazy val result = Pipeline.run(spark, turns.toDF(), out, Pipeline.Config(saltBuckets = 8))
+
+  test("generator is deterministic and skewed") {
+    val again = Gen.turns(spark, n).collect().toSeq
+    assert(again.toSet == collected.toSet)
+    val byConv = collected.groupBy(_.conv_id).view.mapValues(_.size)
+    val hot = byConv("conv_hot00000")
+    assert(hot >= n * 0.25 && hot <= n * 0.35, s"hot conv holds $hot")
+    assert(collected.map(r => NaiveOracle.dayOf(
+      r.ts.toInstant.getEpochSecond * 1000000L)).toSet.size >= 3, "spans >= 3 days")
+  }
+
+  test("routed rows equal the oracle exactly (both directions)") {
+    result // force the pipeline run
+    val got = spark.read.parquet(s"$out/routed")
+      .select($"conv_id", $"turn_idx", $"role", $"tool",
+        $"day".cast("string"), $"ts", $"text",
+        $"called_tool", $"dur_ms", $"status", $"bytes")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getTimestamp(5).toInstant.toString, r.getString(6),
+        Option(r.get(7)), Option(r.get(8)), Option(r.get(9)), Option(r.get(10))))
+      .toSet
+    val want = oracleRouted.map(r => (r.conv_id, r.turn_idx, r.role, r.tool,
+      r.day.toString,
+      java.time.Instant.ofEpochSecond(r.tsMicros / 1000000L,
+        (r.tsMicros % 1000000L) * 1000L).toString,
+      r.text,
+      r.called_tool.map(x => x: Any), r.dur_ms.map(x => x: Any),
+      r.status.map(x => x: Any), r.bytes.map(x => x: Any))).toSet
+    assert(got.size == want.size, s"rows: got ${got.size} want ${want.size}")
+    assert((got diff want).isEmpty && (want diff got).isEmpty)
+  }
+
+  test("per-sink aggregate counts equal the oracle") {
+    result
+    val got = spark.read.parquet(s"$out/rollup_counts_batch_0")
+      .select($"tool", $"role",
+        (unix_timestamp($"window_start") * 1000000L).as("w"), $"n")
+      .as[(String, String, Long, Long)].collect().toSet
+    val want = NaiveOracle.rollups(oracleRouted)
+      .map(r => (r.tool, r.role, r.windowStartMicros, r.n)).toSet
+    assert(got == want)
+  }
+
+  test("distinct-value rollups equal the oracle") {
+    result
+    val got = spark.read.parquet(s"$out/distinct_sets_batch_0")
+      .as[(String, String, Seq[String])].collect()
+      .map { case (sink, c, vs) => ((sink, c), vs.toSet) }.toMap
+    val want = NaiveOracle.distincts(oracleRouted, Seq("role", "called_tool", "status"))
+    assert(got == want)
+  }
+
+  test("quarantine counted, never silently dropped") {
+    assert(result.quarantinedRows == oracleQuarantine.size)
+    assert(result.quarantinedRows > 0, "fixture must plant malformed rows")
+    assert(result.routedRows + result.quarantinedRows == result.inputRows)
+  }
+
+  test("per-turn text equality under stable (conv_id, turn_idx) ordering") {
+    val got = spark.read.parquet(s"$out/routed")
+      .orderBy($"conv_id", $"turn_idx")
+      .select($"conv_id", $"turn_idx", $"text")
+      .as[(String, Int, String)].collect().toSeq
+    val want = oracleRouted.sortBy(r => (r.conv_id, r.turn_idx))
+      .map(r => (r.conv_id, r.turn_idx, r.text))
+    assert(got == want)
+  }
+
+  test("audit lineage covers all partitions with correct counts") {
+    val audit = spark.read.parquet(s"$out/audit")
+    assert(audit.agg(sum($"row_count")).as[Long].head() == result.routedRows)
+    val snap = Manifest.latest(s"$out/routed").get
+    assert(snap.committedPartitions.nonEmpty)
+    assert(snap.stats.map(_.rowCount).sum == result.routedRows)
+  }
+
+  test("rerun resumes from the manifest: no double-write") {
+    val r2 = Pipeline.run(spark, turns.toDF(), out, Pipeline.Config(saltBuckets = 8), batchId = 1L)
+    assert(r2.routedRows == 0L, "all partitions already committed → skip all")
+    val rows = spark.read.parquet(s"$out/routed").count()
+    assert(rows == result.routedRows, "no duplicate rows after rerun")
+  }
+
+  test("partial commit resumes exactly-once") {
+    val out2 = tmpDir("pipe_resume")
+    val half = turns.filter($"ts" < lit("2025-01-03 00:00:00").cast("timestamp"))
+    Pipeline.run(spark, half.toDF(), out2, Pipeline.Config(saltBuckets = 8), batchId = 0L)
+    val partial = spark.read.parquet(s"$out2/routed").count()
+    val r2 = Pipeline.run(spark, turns.toDF(), out2, Pipeline.Config(saltBuckets = 8), batchId = 1L)
+    val total = spark.read.parquet(s"$out2/routed").count()
+    // day-partitions committed in batch 0 are skipped; only new days written.
+    assert(total > partial)
+    assert(r2.skippedCommitted > 0)
+    val dups = spark.read.parquet(s"$out2/routed")
+      .groupBy($"conv_id", $"turn_idx").count().filter($"count" > 1).count()
+    assert(dups == 0L, "exactly-once per (conv_id, turn_idx) partition-key")
+  }
+}

@@ -1,0 +1,52 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("simhash64: codegen and interpreted paths agree; SQL registration works") {
+    GraftFunctions.register(spark)
+    val df = Seq(Tuple1(Seq("a", "b", "c")), Tuple1(Seq[String]()),
+      Tuple1(null.asInstanceOf[Seq[String]])).toDF("toks")
+    val viaColumn = df.select(GraftFunctions.simhash64($"toks")).collect()
+    val viaSql = df.selectExpr("simhash64(toks)").collect()
+    assert(viaColumn.map(_.get(0)).toSeq == viaSql.map(_.get(0)).toSeq)
+    assert(viaColumn(2).isNullAt(0), "null in → null out")
+    // direct static-path reference value
+    val expected = viaColumn(0).getLong(0)
+    // whole-stage-codegen disabled → interpreted eval must match
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = df.select(GraftFunctions.simhash64($"toks")).collect()(0).getLong(0)
+      assert(interp == expected)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("simhash similarity property: close token sets → small hamming") {
+    val a = (0 until 100).map(i => s"t$i")
+    val b = a.dropRight(3) ++ Seq("x1", "x2", "x3")
+    val c = (0 until 100).map(i => s"u$i")
+    val df = Seq(Tuple1(a), Tuple1(b), Tuple1(c)).toDF("toks")
+    val sigs = df.select(GraftFunctions.simhash64($"toks")).as[Long].collect()
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(sigs(0), sigs(1)) < ham(sigs(0), sigs(2)),
+      s"near ${ham(sigs(0), sigs(1))} !< far ${ham(sigs(0), sigs(2))}")
+  }
+
+  test("rolling_hash64 deterministic and order-sensitive") {
+    val df = Seq(Tuple1(Seq("a", "b")), Tuple1(Seq("b", "a")), Tuple1(Seq("a", "b")))
+      .toDF("toks")
+    val h = df.select(GraftFunctions.rolling_hash64($"toks")).as[Long].collect()
+    assert(h(0) == h(2) && h(0) != h(1))
+  }
+
+  test("type check rejects non-array input") {
+    val e = intercept[Exception] {
+      Seq(1).toDF("x").select(GraftFunctions.simhash64($"x")).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("array") ||
+      e.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+}

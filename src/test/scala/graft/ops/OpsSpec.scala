@@ -1,0 +1,132 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Synthetic corpus with planted near-duplicates: doc i and i+1000 share
+  // most tokens when i % 5 == 0.
+  private lazy val docs = {
+    val base = (0 until 200).map { i =>
+      val words = (0 until 30).map(j => s"w${(i * 31 + j * 7) % 500}")
+      (i.toLong, words.mkString(" "))
+    }
+    val dups = base.collect { case (i, t) if i % 5 == 0 =>
+      (i + 1000L, t.split(" ").dropRight(2).mkString(" ") + " extra tail")
+    }
+    (base ++ dups).toDF("doc_id", "text").cache()
+  }
+
+  test("exact dedup: groups and drop keep deterministic representative") {
+    val withDup = docs.union(docs.filter($"doc_id" < 3))
+    val groups = Dedup.exactGroups(withDup, "doc_id", "text").collect()
+    assert(groups.length == 3 && groups.forall(_.getAs[Long]("n") == 2))
+    val kept = Dedup.dropExactDuplicates(withDup, "doc_id", "text")
+    assert(kept.count() == docs.count())
+  }
+
+  test("minhash LSH finds planted near-dups with high recall, verified jaccard") {
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture must plant near-dups")
+    val found = Dedup.minhashNearDups(docs, "doc_id", "text",
+      shingleN = 3, k = 48, bands = 16, threshold = 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.subsetOf(truth), "no false positives after verify")
+    val recall = found.size.toDouble / truth.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("simhash banding: exact (no false negatives) for hamming <= 3, sound for any k") {
+    val sigs = docs.select($"doc_id",
+      GraftFunctions.simhash64(TextOps.tokens($"text")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs.values.toSeq.distinct.length > 100, "signatures vary")
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    // ground truth from driver-side signatures
+    def truthAt(k: Int) = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b && ham(sigs(a), sigs(b)) <= k
+    } yield (a, b)).toSet
+    // pigeonhole guarantee: 4 bands of 16 bits ⇒ hamming <= 3 pairs MUST
+    // share a band → banded result is EXACTLY the truth at k = 3
+    val found3 = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found3 == truthAt(3))
+    // soundness at any k: found pairs really have hamming <= k
+    val found10 = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found10.subsetOf(truthAt(10)))
+  }
+
+  test("rolling-hash fingerprint is order-sensitive; set fingerprint is not") {
+    val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("doc_id", "text")
+    val f = TextAnalysis.fingerprints(df)
+      .select($"doc_id", $"fingerprint", $"seq_fingerprint")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(f(1L)._1 == f(2L)._1, "bag-of-words fingerprint ignores order")
+    assert(f(1L)._2 != f(2L)._2, "rolling hash is order-sensitive")
+    assert(f(1L)._2 == f(3L)._2)
+  }
+
+  test("brute-force cosine topk is exact; LSH topk has decent recall") {
+    val vecs = (0 until 300).map { i =>
+      val v = (0 until 16).map(d =>
+        math.sin(i * 0.37 + d * 1.13).toFloat + (if (i % 50 == 0) 0f else 0f))
+      (i.toLong, v.toArray)
+    }.toDF("vec_id", "embedding").cache()
+    val queries = vecs.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(vecs, queries, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size == 50)
+    val approx = Similarity.lshTopK(vecs, queries, 10, planes = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"lsh recall $recall")
+    // exact near-dup pairs: bucketed result ⊆ exhaustive result
+    val lshPairs = Similarity.cosineNearDups(vecs, 0.95, planes = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = Similarity.cosineNearDupsExact(vecs, 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lshPairs.subsetOf(exactPairs))
+  }
+
+  test("language id picks the language with most stopword hits") {
+    val df = Seq(
+      (1L, "the cat and the dog is in the house"),
+      (2L, "le chat et le chien est pour la maison"),
+      (3L, "der hund und die katze ist von der stadt"),
+      (4L, "zzz qqq xxx")).toDF("doc_id", "text")
+    val got = TextAnalysis.withLangId(df).select($"doc_id", $"lang_guess")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "fr", 3L -> "de", 4L -> "und"))
+  }
+
+  test("quality + token counts behave on edge cases") {
+    val df = Seq((1L, ""), (2L, "word"), (3L, "Hello, world! 123"))
+      .toDF("doc_id", "text")
+    val q = TextAnalysis.qualityScore(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score")).toMap
+    assert(q(1L) == 0.0 && q(2L) >= 0.0 && q(3L) > 0.0)
+    val t = TextAnalysis.tokenCounts(df).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("ws_tokens"), r.getAs[Int]("bpeish_tokens")))
+    assert(t.find(_._1 == 3L).get._2 == 3) // "Hello," "world!" "123"
+    assert(t.find(_._1 == 3L).get._3 == 7) // Hello , world ! 1 2 3
+  }
+
+  test("multimodal plumbing: stub decode, corrupt rows quarantined, sampling") {
+    val media = Multimodal.syntheticMedia(spark, 100)
+    assert(media.schema.fieldNames.toSeq ==
+      Multimodal.mediaSchema.fieldNames.toSeq)
+    val feats = Multimodal.extractFeatures(media, dim = 8).cache()
+    val bad = feats.filter(!$"ok").count()
+    assert(bad == math.ceil(100 / 17.0).toLong - 0, s"corrupt rows: $bad")
+    assert(feats.filter($"ok").head().features.length == 8)
+    val sampled = Multimodal.sampleFeatures(feats.filter($"ok").toDF(), 2)
+      .select(size($"sampled")).as[Int].head()
+    assert(sampled == 4)
+  }
+}
