@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs 32 concurrent tasks in ONE JVM. Two traps on this
+  // Firecracker-style VM: (a) 8g thrashes GC once 32 parquet writers +
+  // hash-agg state are live; (b) a huge lazily-faulted heap page-fault-
+  // storms the microVM (sys-time dominates). 16g pre-touched is the sweet
+  // spot; writer row-group size is capped in the session conf instead.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

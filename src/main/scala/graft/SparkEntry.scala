@@ -309,7 +309,19 @@ object SparkEntry {
     // ── embedding near-dup pairs, LSH-bucketed (rows-only) ──
     "q38_cos_neardup" -> ((s, dir) =>
       Similarity.cosineNearDups(t(s, dir, "embeddings"), threshold = 0.2, planes = 4)
-        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos")))
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))),
+
+    // ── O23: match-count (alco total_found) ──
+    "q39_total_count" -> ((s, dir) =>
+      t(s, dir, "events").filter(col("event_type") === "click")
+        .agg(count(lit(1)).as("n"))),
+
+    // ── O30: except ──
+    "q40_except" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      e.filter(col("event_type") === "click").select(col("event_id"))
+        .except(e.filter(col("value") > 90.0).select(col("event_id")))
+    })
   )
 
   /** DuckDB oracles: bare table names resolve against the same sfDir.
@@ -374,6 +386,10 @@ object SparkEntry {
     "q31_pipeline_events" ->
       "SELECT d.family, CAST(e.ts AS DATE) AS day, count(*) AS n, min(e.value) AS mn, max(e.value) AS mx FROM events e JOIN (VALUES ('click','ui'),('view','ui'),('purchase','conversion'),('signup','conversion'),('error','fault')) AS d(event_type, family) ON e.event_type = d.event_type GROUP BY 1, 2",
     "q32_running_window" ->
-      "SELECT event_id, CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n FROM events"
+      "SELECT event_id, CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n FROM events",
+    "q39_total_count" ->
+      "SELECT count(*) AS n FROM events WHERE event_type = 'click'",
+    "q40_except" ->
+      "SELECT event_id FROM events WHERE event_type = 'click' EXCEPT SELECT event_id FROM events WHERE value > 90.0"
   )
 }

@@ -105,9 +105,11 @@ object Gen {
       element_at(sentences, (pmod(col("h"), lit(5)) + 1).cast("int")),
       lit(" "), pmod(col("h"), lit(997L)).cast("string"))
     val broken = lit("CALL  args= dur_ms=oops")
+    // P1/P2 split by the row hash, NOT turn parity — role=tool only occurs
+    // at fixed turn_idx residues, so a parity split would never emit P2.
     when(col("malformed"), broken)
       .when(col("role") === "tool",
-        when(pmod(col("turn_idx"), lit(2)) === 0, p1).otherwise(p2))
+        when(pmod(col("h"), lit(2)) === 0, p1).otherwise(p2))
       .otherwise(p3)
   }
 

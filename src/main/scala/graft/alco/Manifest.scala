@@ -74,6 +74,27 @@ object Manifest {
     snap
   }
 
+  /** Snapshot whose committed set is replaced outright (retention/expiry):
+    * unlike `commit`, the parent's set is NOT unioned in.
+    */
+  def replaceCommitted(tableRoot: String, batchId: Long,
+                       committed: Seq[String]): Snapshot = {
+    val parent = latest(tableRoot)
+    val id = parent.map(_.snapshotId + 1).getOrElse(0L)
+    val snap = Snapshot(id, parent.map(_.snapshotId).getOrElse(-1L), batchId,
+      committed.distinct,
+      parent.map(_.stats.filter(st => committed.contains(st.partition)))
+        .getOrElse(Nil),
+      0L)
+    val dir = manifestDir(tableRoot)
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s"snapshot-$id.json.tmp")
+    Files.write(tmp, toJson(snap).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve(s"snapshot-$id.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+    snap
+  }
+
   private def toJson(s: Snapshot): String = {
     val root = mapper.createObjectNode()
     root.put("snapshot_id", s.snapshotId)

@@ -34,20 +34,29 @@ object Parse {
   private def ext(c: Column, p: Grok.Compiled, field: String): Column =
     regexp_extract(c, p.regex, p.groupOf(field))
 
-  /** Adds: pattern_id int (1/2/3, 0 = quarantine), called_tool, dur_ms int,
-    * status, bytes long, attrs map<string,string> (alco `js` analog), and
-    * `day` (UTC event-time day, the shard-routing key — alco D4).
+  /** Pattern classification only: pattern_id int (1/2/3, 0 = quarantine).
+    * Split from `extract` so the REPLACE-dedup shuffle can run between them
+    * and carry only flat narrow columns — field extraction (regex groups,
+    * the attrs map) happens once per SURVIVING row, after dedup.
     */
-  def stage(df: DataFrame): DataFrame = {
+  def classify(df: DataFrame): DataFrame = {
     val t = col("text")
     val looksStructured = t.startsWith("CALL ") || t.startsWith("CALL") ||
       t.startsWith("RESULT")
     df.withColumn("pattern_id",
-        when(t.rlike(P1.regex), lit(1))
-          .when(t.rlike(P2.regex), lit(2))
-          .when(!looksStructured && t.rlike(P3.regex) && length(t) > 0, lit(3))
-          .otherwise(lit(0)))
-      .withColumn("called_tool",
+      when(t.rlike(P1.regex), lit(1))
+        .when(t.rlike(P2.regex), lit(2))
+        .when(!looksStructured && t.rlike(P3.regex) && length(t) > 0, lit(3))
+        .otherwise(lit(0)))
+  }
+
+  /** Field extraction for classified rows: called_tool, dur_ms int, status,
+    * bytes long, attrs map<string,string> (alco `js` analog), and `day`
+    * (UTC event-time day, the shard-routing key — alco D4).
+    */
+  def extract(df: DataFrame): DataFrame = {
+    val t = col("text")
+    df.withColumn("called_tool",
         when(col("pattern_id") === 1, ext(t, P1, "called_tool")))
       .withColumn("dur_ms",
         when(col("pattern_id") === 1, ext(t, P1, "dur_ms").cast(IntegerType)))
@@ -63,6 +72,12 @@ object Parse {
           .otherwise(map().cast(attrsType)))
       .withColumn("day", to_date(col("ts")))
   }
+
+  /** classify + extract in one projection (the single-pass shape used by
+    * the query surface and streaming; the batch pipeline interleaves the
+    * dedup shuffle between the two).
+    */
+  def stage(df: DataFrame): DataFrame = extract(classify(df))
 
   /** Quarantine split: (wellFormed, quarantined). */
   def splitQuarantine(parsed: DataFrame): (DataFrame, DataFrame) =

@@ -37,12 +37,19 @@ object Route {
   /** REPLACE INTO semantics (alco O34): last-write-wins per (conv_id,
     * turn_idx), deterministically — latest ts wins, then highest seq. Plain
     * `dropDuplicates` would keep an arbitrary row and break equality.
+    *
+    * Implemented as `max_by` hash aggregation, NOT a row_number window: the
+    * aggregate gets map-side partial aggregation (duplicates collapse
+    * before the shuffle) and needs no sort — at 10^12 rows a sort-based
+    * window over the full table is the difference between one cheap
+    * hash-shuffle and a spill-heavy sort.
     */
   def replaceSemantics(df: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("conv_id"), col("turn_idx"))
-      .orderBy(col("ts").desc, col("seq").desc)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val others = df.columns.filterNot(c => c == "conv_id" || c == "turn_idx")
+    df.groupBy(col("conv_id"), col("turn_idx"))
+      .agg(max_by(struct(others.map(col): _*), struct(col("ts"), col("seq")))
+        .as("__r"))
+      .select(col("conv_id") +: col("turn_idx") +:
+        others.map(c => col(s"__r.$c").as(c)): _*)
   }
 }

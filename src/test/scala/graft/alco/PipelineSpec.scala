@@ -96,6 +96,7 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("rerun resumes from the manifest: no double-write") {
+    result // batch 0 must have committed first
     val r2 = Pipeline.run(spark, turns.toDF(), out, Pipeline.Config(saltBuckets = 8), batchId = 1L)
     assert(r2.routedRows == 0L, "all partitions already committed → skip all")
     val rows = spark.read.parquet(s"$out/routed").count()
