@@ -34,6 +34,19 @@ object Parse {
   private def ext(c: Column, p: Grok.Compiled, field: String): Column =
     regexp_extract(c, p.regex, p.groupOf(field))
 
+  /** Flat string-valued JSON object body (`"k":"v",…` without the braces)
+    * → map<string,string>, as pure codegen'd expressions. `from_json`
+    * (JsonToStructs) is a CodegenFallback and knocks the whole extract
+    * projection out of WholeStageCodegen (caught by PlanSpec); the alco
+    * `js` attribute analog is a flat string map, so regexp extraction is
+    * exact here. Values with embedded escaped quotes would need the
+    * from_json path — quarantine-bound inputs never reach this expression.
+    */
+  private def flatJsonToMap(body: Column): Column =
+    map_from_arrays(
+      regexp_extract_all(body, lit("\"([^\"]+)\"\\s*:"), lit(1)),
+      regexp_extract_all(body, lit(":\\s*\"([^\"]*)\""), lit(1)))
+
   /** Pattern classification only: pattern_id int (1/2/3, 0 = quarantine).
     * Split from `extract` so the REPLACE-dedup shuffle can run between them
     * and carry only flat narrow columns — field extraction (regex groups,
@@ -65,8 +78,7 @@ object Parse {
       .withColumn("bytes",
         when(col("pattern_id") === 2, ext(t, P2, "bytes").cast(LongType)))
       .withColumn("attrs",
-        when(col("pattern_id") === 1,
-          from_json(concat(lit("{"), ext(t, P1, "args_json"), lit("}")), attrsType))
+        when(col("pattern_id") === 1, flatJsonToMap(ext(t, P1, "args_json")))
           .when(col("pattern_id") === 2,
             map(lit("msg"), ext(t, P2, "msg")))
           .otherwise(map().cast(attrsType)))

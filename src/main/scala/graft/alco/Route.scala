@@ -38,17 +38,20 @@ object Route {
     * turn_idx), deterministically — latest ts wins, then highest seq. Plain
     * `dropDuplicates` would keep an arbitrary row and break equality.
     *
-    * Implemented as `max_by` hash aggregation, NOT a row_number window: the
-    * aggregate gets map-side partial aggregation (duplicates collapse
-    * before the shuffle) and needs no sort — at 10^12 rows a sort-based
-    * window over the full table is the difference between one cheap
-    * hash-shuffle and a spill-heavy sort.
+    * Implemented with the custom MaxByRow TypedImperativeAggregate, NOT a
+    * row_number window and NOT the built-in `max_by`: the window sorts by
+    * construction, and `max_by`'s struct buffer silently falls back to
+    * SortAggregate (sorts on BOTH sides of the shuffle — PlanSpec guards
+    * this). MaxByRow runs in ObjectHashAggregateExec: true hash
+    * aggregation, map-side partial collapse of duplicates before the
+    * shuffle, zero sorts — at 10^12 rows the difference between a
+    * streaming hash update and a spill-heavy O(n log n) pass.
     */
   def replaceSemantics(df: DataFrame): DataFrame = {
     val others = df.columns.filterNot(c => c == "conv_id" || c == "turn_idx")
     df.groupBy(col("conv_id"), col("turn_idx"))
-      .agg(max_by(struct(others.map(col): _*), struct(col("ts"), col("seq")))
-        .as("__r"))
+      .agg(graft.functions.MaxByRow.max_by_row(
+        struct(others.map(col): _*), struct(col("ts"), col("seq"))).as("__r"))
       .select(col("conv_id") +: col("turn_idx") +:
         others.map(c => col(s"__r.$c").as(c)): _*)
   }

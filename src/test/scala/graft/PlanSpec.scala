@@ -1,0 +1,80 @@
+package graft
+
+import graft.alco.{Gen, Parse, Route}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the plans must not just be correct, they must
+  * be the plans you'd want at 100 TB — filters reaching the parquet scan,
+  * dims broadcast, top-k never global-sorting, projections pruned, and the
+  * salting/dedup hash actually dissolving conversation skew.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  test("q04 filter is pushed down to the parquet scan") {
+    val p = plan(SparkEntry.queries("q04_filter_in")(spark, dir))
+    assert(p.contains("PushedFilters") && p.contains("event_type"),
+      s"expected pushed filters in:\n$p")
+  }
+
+  test("q02 scan is column-pruned to the referenced columns") {
+    val p = plan(SparkEntry.queries("q02_json_parse")(spark, dir))
+    assert(p.contains("ReadSchema") && !p.contains("user_id"),
+      "projection must prune unused columns from the scan")
+  }
+
+  test("q07 enrich uses BroadcastHashJoin (no shuffle of the fact side)") {
+    val p = plan(SparkEntry.queries("q07_enrich_bcast")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"expected BHJ in:\n$p")
+  }
+
+  test("q13 top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan(SparkEntry.queries("q13_topk")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k exec in:\n$p")
+  }
+
+  test("q09 anti join stays a broadcast/hash join") {
+    val p = plan(SparkEntry.queries("q09_anti_join")(spark, dir))
+    assert(p.contains("LeftAnti"), s"expected anti join in:\n$p")
+  }
+
+  test("pipeline parse stage stays inside WholeStageCodegen") {
+    // `executedPlan.toString` marks codegen'd operators with "*(n)"; every
+    // Project of the parse stage (classify + extract incl. the attrs map)
+    // must carry it — from_json would silently drop extract out of codegen.
+    val parsed = Parse.stage(Gen.turns(spark, 1000L).toDF())
+    val p = plan(parsed.filter(col("pattern_id") =!= 0))
+    val projects = p.linesIterator.filter(_.contains("Project")).toSeq
+    assert(projects.nonEmpty && projects.forall(_.contains("*(")),
+      s"every parse Project must be codegen'd:\n$p")
+  }
+
+  test("dedup hash-shuffle dissolves the hot-conversation skew") {
+    import spark.implicits._
+    // 30% of rows share one conv_id; after the dedup aggregation the rows
+    // must be spread near-uniformly (key = (conv_id, turn_idx)).
+    val turns = Gen.turns(spark, 20000L).toDF()
+    val deduped = Route.replaceSemantics(
+      Route.stage(8)(Parse.splitQuarantine(Parse.classify(turns))._1))
+    val sizes = deduped
+      .mapPartitions(it => Iterator.single(it.size)).collect().filter(_ > 0)
+    val mx = sizes.max.toDouble
+    val mean = sizes.sum.toDouble / sizes.length
+    assert(mx / mean < 2.5,
+      s"partition skew after dedup: max=$mx mean=$mean sizes=${sizes.toSeq}")
+  }
+
+  test("dedup is hash aggregation, not a sort-based window") {
+    val turns = Gen.turns(spark, 1000L).toDF()
+    val p = plan(Route.replaceSemantics(
+      Route.stage(8)(Parse.splitQuarantine(Parse.classify(turns))._1)))
+    assert(p.contains("ObjectHashAggregate"),
+      s"expected object-hash aggregate in:\n$p")
+    assert(!p.contains("Window") && !p.contains("SortAggregate"),
+      "REPLACE dedup must not plan a window or sort-aggregate")
+  }
+}
