@@ -22,6 +22,13 @@ object Grok {
     "NUMBER" -> """[+-]?\d+(?:\.\d+)?""",
     "DATA" -> """.*?""",
     "GREEDYDATA" -> """.*""",
+    // Flat string-valued JSON object body ("k":"v",... without the braces,
+    // possibly empty). This is the exact grammar the pipeline's attrs
+    // extractor supports — using it in a pattern (instead of DATA) makes the
+    // classifier REJECT structurally-JSON-but-not-flat-string-map bodies
+    // (nested objects, non-string values), routing them to quarantine
+    // instead of crashing map_from_arrays downstream.
+    "FLATMAP" -> """(?:"[^"]+"\s*:\s*"[^"]*"(?:\s*,\s*"[^"]+"\s*:\s*"[^"]*")*)?""",
     "TIMESTAMP_ISO8601" ->
       """\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?""")
 

@@ -21,8 +21,12 @@ object Parse {
   // anything that *looks* like a tool call/result but fails P1/P2 is
   // malformed → quarantine. (RE2-safe: no lookaheads; CALL/RESULT exclusion
   // is handled by the when() dispatch order below.)
+  // args must match the flat string-map grammar (FLATMAP) exactly: a
+  // contract-valid-looking CALL with e.g. a non-string value (args={"n":3})
+  // classifies as quarantine rather than reaching the attrs extractor with
+  // mismatched key/value arrays (which would throw and kill the batch).
   val P1: Grok.Compiled = Grok.compile("tool_call",
-    """^CALL %{WORD:called_tool} args=\{%{DATA:args_json}\} dur_ms=%{INT:dur_ms}$""")
+    """^CALL %{WORD:called_tool} args=\{%{FLATMAP:args_json}\} dur_ms=%{INT:dur_ms}$""")
   val P2: Grok.Compiled = Grok.compile("tool_result",
     """^RESULT status=%{WORD:status} bytes=%{INT:bytes} msg=%{GREEDYDATA:msg}$""")
   val P3: Grok.Compiled = Grok.compile("chat_text", """^%{GREEDYDATA:free}$""")
@@ -42,10 +46,16 @@ object Parse {
     * exact here. Values with embedded escaped quotes would need the
     * from_json path — quarantine-bound inputs never reach this expression.
     */
-  private def flatJsonToMap(body: Column): Column =
-    map_from_arrays(
-      regexp_extract_all(body, lit("\"([^\"]+)\"\\s*:"), lit(1)),
-      regexp_extract_all(body, lit(":\\s*\"([^\"]*)\""), lit(1)))
+  private def flatJsonToMap(body: Column): Column = {
+    val keys = regexp_extract_all(body, lit("\"([^\"]+)\"\\s*:"), lit(1))
+    val vals = regexp_extract_all(body, lit(":\\s*\"([^\"]*)\""), lit(1))
+    // P1's FLATMAP grammar guarantees |keys| == |vals|; the guards make a
+    // regression (or a future looser pattern) degrade to a null attrs map
+    // instead of a job-killing map_from_arrays length/duplicate-key error.
+    when(size(keys) === size(vals) &&
+        size(keys) === size(array_distinct(keys)),
+      map_from_arrays(keys, vals))
+  }
 
   /** Pattern classification only: pattern_id int (1/2/3, 0 = quarantine).
     * Split from `extract` so the REPLACE-dedup shuffle can run between them

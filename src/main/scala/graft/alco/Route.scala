@@ -22,12 +22,20 @@ import org.apache.spark.sql.functions._
   */
 object Route {
 
-  /** 64-bit deterministic id: hash(conv_id) in the high bits, turn_idx low.
-    * Reference analog: alco's Redis-reserved doc id + `seq` stable tiebreak
-    * [PK collector.py::push_messages], rebuilt as a derived pure key.
+  /** 64-bit deterministic id: hash(conv_id) in the high 32 bits, turn_idx in
+    * the low 32. Reference analog: alco's Redis-reserved doc id + `seq`
+    * stable tiebreak [PK collector.py::push_messages], rebuilt as a derived
+    * pure key.
+    *
+    * turn_idx is int32 by the input contract (always < 2^31, non-negative),
+    * so ADDITION into a 32-bit-shifted hash never carries into the hash
+    * bits: within one conversation, seq is unique and strictly monotone in
+    * turn_idx even for hot conversations with billions of turns. (A 21-bit
+    * field + bitwiseOR overflowed at 2^21 ≈ 2M turns — the design target
+    * explicitly includes conversations past that.)
     */
-  def seqCol = (shiftleft(xxhash64(col("conv_id")), 21)
-    .bitwiseOR(col("turn_idx").cast("long"))).as("seq")
+  def seqCol = (shiftleft(xxhash64(col("conv_id")), 32) +
+    col("turn_idx").cast("long")).as("seq")
 
   def stage(saltBuckets: Int)(df: DataFrame): DataFrame =
     df.withColumn("seq", seqCol)
