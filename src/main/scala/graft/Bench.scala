@@ -29,7 +29,9 @@ object Bench {
 
   private def session(cpus: Int): SparkSession = SparkSession.builder()
     .master(s"local[$cpus]")
-    .config("spark.sql.shuffle.partitions", (cpus * 4).toString) // 4× cores: reduce-stage straggler head-room; AQE coalesces
+    // ≥16 shuffle partitions even at low thread counts: bounds per-reduce
+    // hash-agg state (GC-friendly) and AQE coalesces the excess anyway.
+    .config("spark.sql.shuffle.partitions", math.max(cpus * 4, 16).toString)
     .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", (32 * 1024 * 1024).toString)
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
@@ -47,18 +49,22 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val pipelineRows = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_ROWS", "8000000").toLong
+    // ≥16M timed rows: amortizes per-job constants so the scaling ratio
+    // measures the pipeline, not fixed overhead (round-1 lesson).
+    val pipelineRows = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_ROWS", "16000000").toLong
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
 
     // ── 1. headline queries at the requested parallelism ──
     var spark = session(cpus)
     spark.sparkContext.setLogLevel("WARN")
-    val qTimes = headline.flatMap { name =>
+    def runHeadline(): Seq[(String, Double)] = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val sec = timed { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         name -> sec
       }
     }
+    runHeadline() // warm-up pass: JIT + codegen cache, excluded from timing
+    val qTimes = runHeadline()
 
     // generated transcripts input, written once, reused at both levels
     val work = Files.createTempDirectory("graft_bench").toString
@@ -101,12 +107,25 @@ object Bench {
     val sec32 = pairs.map(_._2).min
     val tps8 = pipelineRows / sec8
     val tps32 = pipelineRows / sec32
-    val eff = pairs.map { case (lo, hi) => (lo / hi) / 4.0 }.max
+    // Efficiency = MEDIAN of the per-pair ratios, clamped at 1.0 — the max
+    // systematically selects the pair whose low leg was hit hardest by host
+    // noise and can exceed 1.0 (round-1 advice); the median is robust to a
+    // single noisy pair in either direction.
+    val pairEffs = pairs.map { case (lo, hi) => math.min((lo / hi) / 4.0, 1.0) }
+      .sorted
+    val eff = pairEffs(pairEffs.length / 2)
 
     val qs = qTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = qTimes.map(_._2).sum
-    println(
-      f"""{"metric":"pipeline_turns_per_sec","value":$tps32%.0f,"unit":"turns/sec","queries":$qs,"sf":"$sfDir","queries_total_sec":$total%.3f,"pipeline":{"rows":$pipelineRows,"n_executors":$nLow,"n4_executors":$nHigh,"sec_localN":$sec8%.2f,"sec_local4N":$sec32%.2f,"tps_localN":$tps8%.0f,"tps_local4N":$tps32%.0f,"scaling_efficiency":$eff%.3f}}""")
+    val pairsJson = pairEffs.map(e => f"$e%.3f").mkString("[", ",", "]")
+    val json =
+      f"""{"metric":"pipeline_turns_per_sec","value":$tps32%.0f,"unit":"turns/sec","queries":$qs,"sf":"$sfDir","queries_total_sec":$total%.3f,"pipeline":{"rows":$pipelineRows,"n_executors":$nLow,"n4_executors":$nHigh,"sec_localN":$sec8%.2f,"sec_local4N":$sec32%.2f,"tps_localN":$tps8%.0f,"tps_local4N":$tps32%.0f,"pair_efficiencies":$pairsJson,"scaling_efficiency":$eff%.3f}}"""
+    println(json)
+    // stdout gets buried in sbt [info]/log noise — persist the line so the
+    // bench signal can't silently vanish (round-1 BENCH had parsed:null).
+    Files.write(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 }

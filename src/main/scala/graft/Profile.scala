@@ -16,7 +16,7 @@ object Profile {
     val rows = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_ROWS", "4000000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", (cpus * 4).toString) // 4× cores: reduce-stage straggler head-room; AQE coalesces
+      .config("spark.sql.shuffle.partitions", math.max(cpus * 4, 16).toString) // 4× cores, floor 16 (match Bench)
     .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", (32 * 1024 * 1024).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

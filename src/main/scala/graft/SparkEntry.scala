@@ -121,9 +121,13 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("value"))
         .limit(100)),
 
-    // ── O27: offset pagination via row_number ──
+    // ── O27: offset pagination — bounded top-(offset+limit) FIRST
+    // (distributed TakeOrdered), so the single-partition row_number window
+    // only ever sees offset+limit rows, never the table ──
     "q14_pagination" -> ((s, dir) =>
       t(s, dir, "events")
+        .select(col("event_id"), col("ts"))
+        .orderBy(col("ts"), col("event_id")).limit(300)
         .select(col("event_id"),
           row_number().over(Window.orderBy(col("ts"), col("event_id"))).as("rn"))
         .filter(col("rn").between(201, 300))),
@@ -171,16 +175,17 @@ object SparkEntry {
       Dedup.dropExactDuplicates(t(s, dir, "documents"), "doc_id", "text")
         .groupBy(col("source")).agg(count(lit(1)).as("n"))),
 
-    // ── dedup: token-set Jaccard similar pairs (sampled brute force) ──
+    // ── dedup: token-set Jaccard similar pairs — EXACT via inverted-
+    // postings join (shared-token equi-join + intersection counting), never
+    // a cartesian: identical results to the brute force whenever the
+    // threshold prunes zero-overlap pairs, with shuffle ∝ postings. The
+    // prefilter runs slightly below 0.5 so the final rounded-value filter
+    // (matching the oracle exactly) decides the boundary cases. ──
     "q21_jaccard_pairs" -> ((s, dir) => {
-      val toks = t(s, dir, "documents").select(col("doc_id"),
-        array_distinct(TextOps.tokens(col("text"))).as("toks"))
-      val a = toks.filter(pmod(col("doc_id"), lit(7)) === 0)
-        .select(col("doc_id").as("id_a"), col("toks").as("t_a"))
-      val b = toks.select(col("doc_id").as("id_b"), col("toks").as("t_b"))
-      a.crossJoin(b).filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          round(TextOps.jaccard(col("t_a"), col("t_b")), 6).as("jaccard"))
+      val sets = t(s, dir, "documents").select(col("doc_id").as("id"),
+        array_distinct(TextOps.tokens(col("text"))).as("sh"))
+      Dedup.jaccardPairsFromSets(sets, threshold = 0.499999, sampleMod = 7)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
     }),
 
@@ -271,14 +276,20 @@ object SparkEntry {
         count(lit(1)).over(w).as("cum_n"))
     }),
 
-    // ── the real alco pipeline over generated transcripts (rows-only) ──
+    // ── the real alco pipeline over generated transcripts (DuckDB-oracled:
+    // Verify dumps the same deterministic input to transcripts_input and the
+    // oracle SQL replays classify→rollup with the SAME compiled grok
+    // regexes; day is a yyyy-MM-dd string on both sides so no engine's
+    // session timezone can skew the compare) ──
     "q33_alco_rollup" -> ((s, dir) => {
       val (ok, _) = Parse.splitQuarantine(Parse.stage(Gen.turns(s, 20000L).toDF()))
       Agg.rollupCounts(Route.replaceSemantics(
         Route.stage(16)(Enrich.stage(s)(ok))))
+        .select(col("tool"), col("role"),
+          date_format(col("window_start"), "yyyy-MM-dd").as("day"), col("n"))
     }),
 
-    // ── alco distinct rollups + quarantine audit (rows-only) ──
+    // ── alco distinct rollups + quarantine audit ──
     "q34_alco_distincts" -> ((s, dir) => {
       val (ok, _) = Parse.splitQuarantine(Parse.stage(Gen.turns(s, 20000L).toDF()))
       Agg.distinctSets(Route.stage(16)(Enrich.stage(s)(ok)))
@@ -288,10 +299,11 @@ object SparkEntry {
 
     "q35_alco_quarantine" -> ((s, dir) => {
       val (_, bad) = Parse.splitQuarantine(Parse.stage(Gen.turns(s, 20000L).toDF()))
-      bad.groupBy(col("day")).agg(count(lit(1)).as("n"))
+      bad.groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"))
     }),
 
-    // ── alco grep surface over generated transcripts (rows-only) ──
+    // ── alco grep surface over generated transcripts ──
     "q36_alco_grep" -> ((s, dir) => {
       val parsed = Parse.stage(Gen.turns(s, 20000L).toDF())
       parsed.filter(Grep.matchPredicate(Seq("retry", "latency"), Grep.MatchAny))
@@ -321,14 +333,51 @@ object SparkEntry {
       val e = t(s, dir, "events")
       e.filter(col("event_type") === "click").select(col("event_id"))
         .except(e.filter(col("value") > 90.0).select(col("event_id")))
-    })
+    }),
+
+    // ── O14: full-text NOT (Sphinx MATCH('table -vector -spark')) ──
+    "q41_match_not" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(Grep.matchPredicate(Seq("table"), Grep.MatchAll) &&
+          !Grep.matchPredicate(Seq("vector", "spark"), Grep.MatchAny))
+        .select(col("doc_id")))
   )
 
-  /** DuckDB oracles: bare table names resolve against the same sfDir.
-    * Omitted keys (q22/q23/q25/q33-q38) are non-SQL-expressible or
-    * probabilistic → driver records rows-only checks.
+  // ── DuckDB oracle fragments for the generator-based flagship queries
+  // (q33-q36). `__GRAFT_OUT__` is substituted by Verify with the absolute
+  // outDir, where Verify dumps the SAME deterministic transcripts table the
+  // Spark queries generate. The grok regexes are interpolated from the ONE
+  // compiled pattern library (Parse.P1/P2), so the oracle can never drift
+  // from the engine's grammar. RE2 on both sides; regexp_matches +
+  // anchored ^…$ ≡ rlike full match.
+  private def trTable =
+    "read_parquet('__GRAFT_OUT__/transcripts_input/*.parquet')"
+  // UTC day as a string via epoch arithmetic — make_timestamp(micros) is
+  // timezone-naive in DuckDB, so the result is immune to how the reader
+  // types Spark's parquet timestamps (TIMESTAMP vs TIMESTAMPTZ).
+  private def duckDay(ts: String) =
+    s"strftime(make_timestamp(CAST(floor(epoch($ts)) AS BIGINT) * 1000000), '%Y-%m-%d')"
+  // Parse.classify precedence: P1, else P2, else P3 for non-structured
+  // non-empty text; anything else quarantines.
+  private def duckOk =
+    s"(regexp_matches(text, '${Parse.P1.regex}') OR regexp_matches(text, '${Parse.P2.regex}') OR " +
+      "(NOT (starts_with(text, 'CALL') OR starts_with(text, 'RESULT')) AND length(text) > 0))"
+
+  /** DuckDB oracles: bare table names resolve against the same sfDir;
+    * `__GRAFT_OUT__` paths resolve against Verify's dump dir. Omitted keys
+    * (q22/q23/q25/q37/q38) are probabilistic/custom-hash ops with no SQL
+    * equivalent → driver records rows-only checks (their exactness is
+    * covered by OpsSpec recall/pigeonhole/subset proofs instead).
     */
   def oracleSql: Map[String, String] = Map(
+    "q33_alco_rollup" ->
+      s"""WITH ok AS (SELECT tool, role, ts FROM $trTable WHERE $duckOk) SELECT tool, role, ${duckDay("ts")} AS day, count(*) AS n FROM ok GROUP BY 1, 2, 3""",
+    "q34_alco_distincts" ->
+      s"""WITH ok AS (SELECT tool, role, CASE WHEN regexp_matches(text, '${Parse.P1.regex}') THEN regexp_extract(text, '${Parse.P1.regex}', ${Parse.P1.groupOf("called_tool")}) END AS called_tool, CASE WHEN regexp_matches(text, '${Parse.P2.regex}') THEN regexp_extract(text, '${Parse.P2.regex}', ${Parse.P2.groupOf("status")}) END AS status FROM $trTable WHERE $duckOk), kv AS (SELECT concat(tool, '/', role) AS sink_key, 'role' AS "column", role AS value FROM ok UNION ALL SELECT concat(tool, '/', role), 'called_tool', called_tool FROM ok WHERE called_tool IS NOT NULL UNION ALL SELECT concat(tool, '/', role), 'status', status FROM ok WHERE status IS NOT NULL) SELECT sink_key, "column", array_to_string(list_sort(list(DISTINCT value)), ',') AS vals FROM kv GROUP BY 1, 2""",
+    "q35_alco_quarantine" ->
+      s"""SELECT ${duckDay("ts")} AS day, count(*) AS n FROM $trTable WHERE NOT $duckOk GROUP BY 1""",
+    "q36_alco_grep" ->
+      s"""SELECT conv_id, turn_idx, text FROM $trTable WHERE regexp_matches(lower(text), '\\b(retry|latency)\\b') ORDER BY epoch(ts) DESC, conv_id, turn_idx LIMIT 100""",
     "q01_rollup_counts" ->
       "SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1, 2",
     "q02_json_parse" ->
@@ -390,6 +439,8 @@ object SparkEntry {
     "q39_total_count" ->
       "SELECT count(*) AS n FROM events WHERE event_type = 'click'",
     "q40_except" ->
-      "SELECT event_id FROM events WHERE event_type = 'click' EXCEPT SELECT event_id FROM events WHERE value > 90.0"
+      "SELECT event_id FROM events WHERE event_type = 'click' EXCEPT SELECT event_id FROM events WHERE value > 90.0",
+    "q41_match_not" ->
+      """SELECT doc_id FROM documents WHERE regexp_matches(lower(text), '\btable\b') AND NOT regexp_matches(lower(text), '\b(vector|spark)\b')"""
   )
 }

@@ -25,11 +25,16 @@ object Grep {
   final case class Query(
       terms: Seq[String] = Nil,
       mode: MatchMode = MatchAny,
+      notTerms: Seq[String] = Nil, // Sphinx MATCH('a -b') negation
       filters: Map[String, Seq[String]] = Map.empty, // attr IN (…)
       tsFrom: Option[Timestamp] = None,
       tsTo: Option[Timestamp] = None,
       limit: Int = 100,
-      offset: Int = 0)
+      offset: Int = 0,
+      // alco LoggerColumn.display (D3): when set, the result projection is
+      // the display-flagged columns (applied after ordering/limit, so it
+      // never hides the sort keys from the plan).
+      roles: Option[Seq[ColumnRole]] = None)
 
   private def tokens(c: Column): Column = split(lower(c), "\\W+")
 
@@ -60,7 +65,10 @@ object Grep {
       case (None, Some(b)) => col("day") <= to_date(lit(b)) && col("ts") <= lit(b)
       case _ => lit(true)
     }
-    matchPredicate(q.terms, q.mode) && attr && range
+    val not =
+      if (q.notTerms.isEmpty) lit(true)
+      else !matchPredicate(q.notTerms, MatchAny) // -a -b: none may occur
+    matchPredicate(q.terms, q.mode) && not && attr && range
   }
 
   /** Run a grep query over the routed table. Ordering is newest-first with
@@ -68,40 +76,87 @@ object Grep {
     * top-k (`TakeOrderedAndProjectExec`) when offset == 0, never a global
     * sort.
     */
-  def query(spark: SparkSession, routedPath: String, q: Query): DataFrame = {
-    val base = spark.read.parquet(routedPath).filter(predicates(q))
-    if (q.offset == 0) base.orderBy(col("ts").desc, col("seq").desc).limit(q.limit)
-    else {
-      // Offset pagination (rare path): bounded top-(offset+limit) first so
-      // the row_number window sees only offset+limit rows, not the table.
-      val w = Window.orderBy(col("ts").desc, col("seq").desc)
-      base.orderBy(col("ts").desc, col("seq").desc).limit(q.offset + q.limit)
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") > q.offset)
-        .drop("__rn")
+  /** Reader resolves through the manifest's committed snapshot when one
+    * exists (snapshot isolation: uncommitted/orphaned files are invisible);
+    * falls back to a raw path read for unmanaged tables.
+    */
+  private[alco] def table(spark: SparkSession, routedPath: String): DataFrame =
+    Manifest.readCommitted(spark, routedPath)
+      .getOrElse(spark.read.parquet(routedPath))
+
+  def query(spark: SparkSession, routedPath: String, q: Query): DataFrame =
+    ordered(table(spark, routedPath).filter(predicates(q)), q)
+
+  /** Multi-sink grep (alco greps one index; the shard-union shape
+    * generalizes): restrict one routed table to a set of (tool, role) sinks.
+    * The filter is an OR of partition-column equalities, so Catalyst prunes
+    * to exactly the selected sinks' directories — no full-table scan.
+    */
+  def querySinks(spark: SparkSession, routedPath: String,
+                 sinks: Seq[SinkKey], q: Query): DataFrame = {
+    require(sinks.nonEmpty, "at least one sink")
+    val sel = sinks.map(s =>
+        col("tool_key") === SinkKey.sanitize(s.tool) && col("role") === s.role)
+      .reduce(_ || _)
+    ordered(table(spark, routedPath).filter(sel).filter(predicates(q)), q)
+  }
+
+  /** Cross-table grep: union several routed tables by name (alco's
+    * multi-index `FROM i1,i2` analog) and run one query over the union.
+    * `unionByName` tolerates column-order drift between sink schemas.
+    */
+  def queryTables(spark: SparkSession, routedPaths: Seq[String], q: Query): DataFrame = {
+    require(routedPaths.nonEmpty, "at least one table")
+    val base = routedPaths.map(table(spark, _)).reduce(_ unionByName _)
+    ordered(base.filter(predicates(q)), q)
+  }
+
+  private def ordered(base: DataFrame, q: Query): DataFrame = {
+    val limited =
+      if (q.offset == 0) base.orderBy(col("ts").desc, col("seq").desc).limit(q.limit)
+      else {
+        val w = Window.orderBy(col("ts").desc, col("seq").desc)
+        base.orderBy(col("ts").desc, col("seq").desc).limit(q.offset + q.limit)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") > q.offset)
+          .drop("__rn")
+      }
+    q.roles match {
+      case Some(rs) =>
+        val avail = limited.columns.toSet
+        val display = rs.filter(r => r.display && !r.excluded && avail(r.name))
+        if (display.isEmpty) limited
+        else limited.select(display.map(r => col(r.name)): _*)
+      case None => limited
     }
   }
 
   /** Pagination total (alco: Sphinx total_found, bounded by max_matches). */
   def total(spark: SparkSession, routedPath: String, q: Query,
             maxMatches: Option[Int] = None): Long =
-    Agg.matchCount(spark.read.parquet(routedPath).filter(predicates(q)), maxMatches)
+    Agg.matchCount(table(spark, routedPath).filter(predicates(q)), maxMatches)
 
   /** Context view (O28): the ±n turns around a hit within its conversation
     * (alco: neighboring loglines in the same context group).
     */
   def context(spark: SparkSession, routedPath: String, convId: String,
               turnIdx: Int, n: Int): DataFrame =
-    spark.read.parquet(routedPath)
+    table(spark, routedPath)
       .filter(col("conv_id") === convId &&
         col("turn_idx").between(turnIdx - n, turnIdx + n))
       .orderBy(col("turn_idx"))
 
   /** Windowed variant used by the operator inventory (lag/lead frame): each
-    * row with its neighboring texts inside the conversation.
+    * row with its neighboring texts inside its context group. The grouping
+    * key is the `context`-flagged columns of the column-role config (alco
+    * LoggerColumn.context — e.g. `host` groups a host's log stream; here
+    * conv_id by default).
     */
-  def withNeighbors(routed: DataFrame, n: Int = 1): DataFrame = {
-    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+  def withNeighbors(routed: DataFrame, n: Int = 1,
+                    roles: Seq[ColumnRole] = Model.columnRoles): DataFrame = {
+    val ctx = roles.filter(_.context).map(_.name)
+    require(ctx.nonEmpty, "at least one context column role required")
+    val w = Window.partitionBy(ctx.map(col): _*).orderBy(col("turn_idx"))
     routed
       .withColumn("prev_text", lag(col("text"), n).over(w))
       .withColumn("next_text", lead(col("text"), n).over(w))

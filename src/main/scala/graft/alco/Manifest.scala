@@ -10,19 +10,35 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 
 /** Iceberg-semantics emulation (SURVEY.md §7.4): a per-sink `_manifest/`
-  * directory of JSON snapshot files provides snapshot commits, resumability
-  * ("reruns resume from the last committed partition", BASELINE.json) and
-  * per-partition lineage — without the Iceberg runtime (no Iceberg jar in
-  * this sandbox; swap-in is a config change).
+  * directory of JSON snapshot files provides snapshot commits, batch-level
+  * exactly-once idempotency, file-level lineage and resumability — without
+  * the Iceberg runtime (no Iceberg jar in this sandbox; swap-in is a config
+  * change).
   *
-  * Commit protocol: write `snapshot-<id>.json.tmp`, then atomic rename. The
-  * latest snapshot is the max id. Each snapshot carries its parent, the
-  * batch id, and the cumulative set of committed partition keys
-  * ("tool=…/role=…/day=…").
+  * Commit protocol (crash-safe, Iceberg-style):
+  *  1. data files are written first (plain appends / merge outputs);
+  *  2. the snapshot JSON naming the exact committed FILE set is written to
+  *     `snapshot-<id>.json.tmp` and atomically renamed — this rename IS the
+  *     commit point;
+  *  3. any data file on disk that no committed snapshot names is an ORPHAN
+  *     (a crash between 1 and 2, or a superseded pre-merge file) and is
+  *     deleted by the next run before it writes (Pipeline.cleanupOrphans) —
+  *     so a crash in any window never yields duplicates or data loss.
   *
-  * Driver-side metadata only — snapshot counts are O(#partitions), never
-  * O(rows), so this holds at 10^12 rows (partitions are bounded by
-  * tools × roles × days).
+  * Readers resolve the table through `committedFiles`, so uncommitted or
+  * orphaned files are never visible (snapshot isolation on the read path).
+  *
+  * Each snapshot carries the cumulative committed batch ids (idempotent
+  * reruns short-circuit on batch id, never on partition — a genuinely new
+  * batch landing in an already-committed day merges instead of being
+  * dropped), the cumulative committed partition keys, the cumulative
+  * committed file list, and per-partition row counts for the partitions the
+  * snapshot touched.
+  *
+  * Driver-side metadata only — snapshots are O(#files committed), never
+  * O(rows); at 10^12 rows with bounded partitions (tools × roles × days)
+  * and maxRecordsPerFile-sized files this is exactly the metadata scale
+  * Iceberg manifests carry.
   */
 object Manifest {
 
@@ -31,8 +47,10 @@ object Manifest {
       snapshotId: Long,
       parentId: Long,
       batchId: Long,
+      committedBatchIds: Seq[Long],
       committedPartitions: Seq[String],
       stats: Seq[PartitionStat],
+      files: Seq[String],
       wallMs: Long)
 
   private val mapper = new ObjectMapper()
@@ -55,42 +73,74 @@ object Manifest {
   def committedPartitions(tableRoot: String): Set[String] =
     latest(tableRoot).map(_.committedPartitions.toSet).getOrElse(Set.empty)
 
-  /** Append a snapshot: cumulative committed set = parent's ∪ new. */
+  def committedBatchIds(tableRoot: String): Set[Long] =
+    latest(tableRoot).map(_.committedBatchIds.toSet).getOrElse(Set.empty)
+
+  /** The exact committed data-file set (paths relative to the table root). */
+  def committedFiles(tableRoot: String): Set[String] =
+    latest(tableRoot).map(_.files.toSet).getOrElse(Set.empty)
+
+  /** Snapshot-isolated read: exactly the committed file set is visible —
+    * uncommitted appends, in-flight merge outputs and orphans are not
+    * (Iceberg read-path semantics). Partition columns are recovered from
+    * the file paths via `basePath`, so day/tool_key/role partition pruning
+    * still applies. Returns None when no snapshot (or an empty one) exists.
+    */
+  def readCommitted(spark: org.apache.spark.sql.SparkSession,
+                    tableRoot: String): Option[org.apache.spark.sql.DataFrame] =
+    latest(tableRoot).filter(_.files.nonEmpty).map { s =>
+      spark.read.option("basePath", tableRoot)
+        .parquet(s.files.map(f => s"$tableRoot/$f"): _*)
+    }
+
+  /** Append a snapshot.
+    *
+    * @param newStats current row totals for the partitions this batch touched
+    * @param files    the FULL committed file set after this commit (the
+    *                 caller carries forward untouched partitions' files and
+    *                 swaps in merge outputs for rewritten ones)
+    */
   def commit(tableRoot: String, batchId: Long, newStats: Seq[PartitionStat],
-             wallMs: Long): Snapshot = {
+             files: Seq[String], wallMs: Long): Snapshot = {
     val parent = latest(tableRoot)
     val id = parent.map(_.snapshotId + 1).getOrElse(0L)
     val committed =
       (parent.map(_.committedPartitions).getOrElse(Seq.empty) ++
         newStats.map(_.partition)).distinct
+    val batches =
+      (parent.map(_.committedBatchIds).getOrElse(Seq.empty) :+ batchId).distinct
     val snap = Snapshot(id, parent.map(_.snapshotId).getOrElse(-1L), batchId,
-      committed, newStats, wallMs)
-    val dir = manifestDir(tableRoot)
-    Files.createDirectories(dir)
-    val tmp = dir.resolve(s"snapshot-$id.json.tmp")
-    Files.write(tmp, toJson(snap).getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, dir.resolve(s"snapshot-$id.json"),
-      StandardCopyOption.ATOMIC_MOVE)
-    snap
+      batches, committed, newStats, files.distinct.sorted, wallMs)
+    write(tableRoot, snap)
   }
 
-  /** Snapshot whose committed set is replaced outright (retention/expiry):
-    * unlike `commit`, the parent's set is NOT unioned in.
+  /** Snapshot whose committed partition set is replaced outright (retention/
+    * expiry): unlike `commit`, the parent's set is NOT unioned in, and the
+    * file set is pruned to the kept partitions.
     */
   def replaceCommitted(tableRoot: String, batchId: Long,
                        committed: Seq[String]): Snapshot = {
     val parent = latest(tableRoot)
     val id = parent.map(_.snapshotId + 1).getOrElse(0L)
+    val keep = committed.distinct
+    val keptFiles = parent.map(_.files.filter(f =>
+      keep.exists(p => f.startsWith(p + "/")))).getOrElse(Nil)
     val snap = Snapshot(id, parent.map(_.snapshotId).getOrElse(-1L), batchId,
-      committed.distinct,
-      parent.map(_.stats.filter(st => committed.contains(st.partition)))
+      parent.map(_.committedBatchIds).getOrElse(Nil),
+      keep,
+      parent.map(_.stats.filter(st => keep.contains(st.partition)))
         .getOrElse(Nil),
+      keptFiles,
       0L)
+    write(tableRoot, snap)
+  }
+
+  private def write(tableRoot: String, snap: Snapshot): Snapshot = {
     val dir = manifestDir(tableRoot)
     Files.createDirectories(dir)
-    val tmp = dir.resolve(s"snapshot-$id.json.tmp")
+    val tmp = dir.resolve(s"snapshot-${snap.snapshotId}.json.tmp")
     Files.write(tmp, toJson(snap).getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, dir.resolve(s"snapshot-$id.json"),
+    Files.move(tmp, dir.resolve(s"snapshot-${snap.snapshotId}.json"),
       StandardCopyOption.ATOMIC_MOVE)
     snap
   }
@@ -101,6 +151,8 @@ object Manifest {
     root.put("parent_id", s.parentId)
     root.put("batch_id", s.batchId)
     root.put("wall_ms", s.wallMs)
+    val batches = root.putArray("committed_batch_ids")
+    s.committedBatchIds.foreach(batches.add)
     val parts = root.putArray("committed_partitions")
     s.committedPartitions.foreach(parts.add)
     val stats = root.putArray("stats")
@@ -109,19 +161,25 @@ object Manifest {
       o.put("partition", st.partition)
       o.put("row_count", st.rowCount)
     }
+    val files = root.putArray("files")
+    s.files.foreach(files.add)
     root.toPrettyString
   }
 
   private def read(p: Path): Snapshot = {
     val root = mapper.readTree(Files.readAllBytes(p)).asInstanceOf[ObjectNode]
-    def arr(name: String) = root.get(name).asInstanceOf[ArrayNode].asScala.toSeq
+    def arr(name: String): Seq[com.fasterxml.jackson.databind.JsonNode] =
+      Option(root.get(name)).map(_.asInstanceOf[ArrayNode].asScala.toSeq)
+        .getOrElse(Seq.empty)
     Snapshot(
       root.get("snapshot_id").asLong(),
       root.get("parent_id").asLong(),
       root.get("batch_id").asLong(),
+      arr("committed_batch_ids").map(_.asLong()),
       arr("committed_partitions").map(_.asText()),
       arr("stats").map(n => PartitionStat(
         n.get("partition").asText(), n.get("row_count").asLong())),
+      arr("files").map(_.asText()),
       root.get("wall_ms").asLong())
   }
 }

@@ -1,40 +1,88 @@
 package graft.alco
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import java.time.{Instant, ZoneOffset}
+
+import scala.util.Try
+
+import graft.functions.KeyedRollup
+import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end wiring of alco's collect → parse → store → aggregate loop
   * (SURVEY.md §3 E1):
   *
-  *   read → Parse.stage (grok, codegen) → quarantine split →
-  *   Enrich.stage (broadcast joins) → Route.stage (keys/seq/salt) →
-  *   REPLACE dedup (ONE hash shuffle) → resume filter (anti-join vs
-  *   committed partitions) → partitioned fan-out write (tool_key/role/day)
-  *   → rollup + distinct aggregates from a pruned read-back →
-  *   manifest commit + audit rows.
+  *   read → Parse.classify (grok dispatch, codegen) → quarantine split →
+  *   REPLACE dedup (ONE hash shuffle) → Parse.extract + Enrich (broadcast
+  *   joins) → partitioned fan-out write (tool_key/role/day) with rollup +
+  *   distinct + lineage stats riding the write via observe() →
+  *   copy-on-write merge of partitions that overlap earlier commits →
+  *   manifest commit (atomic rename = commit point) → audit rows.
   *
   * Scale design (10^12 turns):
-  *  - ONE data shuffle total. The REPLACE dedup's hash aggregation on
-  *    (conv_id, turn_idx) both deduplicates AND spreads hot conversations
-  *    uniformly (the near-unique key is its own salt), so no second
-  *    routing repartition is needed: the dynamic-partition writer sorts
-  *    each task's rows by (tool_key, role, day) and streams one file per
-  *    sink dir.
-  *  - NO persist of the wide rows. Aggregates/lineage are recomputed from
-  *    a read-back of the batch's newly written partitions — partition-
-  *    pruned (only this batch's dirs) and column-pruned (rollups touch 3
-  *    columns), which at 100 TB is far cheaper than caching the full rows.
-  *  - Input/quarantine counts ride the write pass via observe() — zero
-  *    extra scans of the input.
-  *  - ONE fan-out write with `partitionBy` (not N filtered jobs — alco ran
-  *    one collector process per index; Spark routes all sinks in one pass).
+  *  - ONE data shuffle total on the hot path. The REPLACE dedup's hash
+  *    aggregation on (conv_id, turn_idx) both deduplicates AND spreads hot
+  *    conversations uniformly (the near-unique key is its own salt); the
+  *    dynamic-partition writer sorts each task's rows and streams one open
+  *    file per sink dir.
+  *  - ZERO post-write jobs on the fresh-partition path. Rollup counts,
+  *    distinct-value sets and per-partition lineage all ride the write pass
+  *    as a single KeyedRollup observe() metric (bounded cardinality:
+  *    tools × roles × days) — the round-1 read-back aggregation job was a
+  *    non-scaling ~3.5 s tail on every batch.
+  *  - Exactly-once without a table format: idempotency is BATCH-scoped
+  *    (a committed batchId short-circuits before any job), the manifest
+  *    names the exact committed file set, orphans from any crash window are
+  *    deleted before the next write, and readers resolve through the
+  *    manifest — so no crash point duplicates, loses, or exposes rows.
+  *  - REPLACE across batches: a new batch whose rows land in an
+  *    already-committed partition is NOT dropped (the round-1 partition
+  *    anti-join silently discarded it); those partitions are re-read,
+  *    REPLACE-deduped against the new rows, rewritten to fresh files and
+  *    swapped in at commit (Iceberg-style copy-on-write, scoped to the
+  *    overlapping partitions only — the fresh-partition fast path never
+  *    pays for it). A key whose day/role/tool changed between batches
+  *    keeps both rows (same divergence as alco's per-day Sphinx shards).
   */
 object Pipeline {
+
+  /** Separator for the write-pass rollup key (never occurs in tool/role). */
+  private val KeySep = "\u0001"
 
   final case class Config(
       saltBuckets: Int = 64,
       maxRecordsPerFile: Long = 2L * 1000 * 1000,
-      distinctColumns: Seq[String] = Seq("role", "called_tool", "status"))
+      columnRoles: Seq[ColumnRole] = defaultRoles) {
+    /** alco LoggerColumn.filtered analog → distinct-value rollup columns. */
+    def distinctColumns: Seq[String] =
+      columnRoles.filter(_.filtered).map(_.name).filter(writeColumns.contains)
+    /** Columns physically stored (LoggerColumn.excluded drops them). Key,
+      * partition and ordering columns are never excludable.
+      */
+    def writeColumns: Seq[String] = {
+      val protectedCols = Set("conv_id", "turn_idx", "role", "tool", "day", "ts", "seq")
+      val excluded = columnRoles.filter(_.excluded).map(_.name).toSet -- protectedCols
+      routedColumns.filterNot(excluded.contains)
+    }
+  }
+
+  /** Column roles for the routed transcripts table (alco LoggerColumn, D3):
+    * `filtered` columns get distinct-value rollups, `context` drives the
+    * grep context-window grouping, `display` the grep projection.
+    */
+  val defaultRoles: Seq[ColumnRole] = Seq(
+    ColumnRole("conv_id", context = true),
+    ColumnRole("turn_idx"),
+    ColumnRole("role", filtered = true),
+    ColumnRole("tool"),
+    ColumnRole("day"),
+    ColumnRole("ts"),
+    ColumnRole("text"),
+    ColumnRole("called_tool", filtered = true),
+    ColumnRole("dur_ms", display = false),
+    ColumnRole("status", filtered = true),
+    ColumnRole("bytes", display = false),
+    ColumnRole("attrs"),
+    ColumnRole("seq", display = false))
 
   final case class Result(
       batchId: Long,
@@ -43,6 +91,7 @@ object Pipeline {
       routedRows: Long,
       quarantinedRows: Long,
       skippedCommitted: Long,
+      mergedPartitions: Long,
       stageTimings: Map[String, Long])
 
   /** Columns of the routed (stored) rows — FIXTURES.md §4. */
@@ -50,21 +99,46 @@ object Pipeline {
     "conv_id", "turn_idx", "role", "tool", "day", "ts", "text",
     "called_tool", "dur_ms", "status", "bytes", "attrs", "seq")
 
+  /** One rollup contribution parsed back from the write-pass metric. */
+  private final case class Contrib(tool: String, role: String,
+      windowStartSec: Long, n: Long, sets: Seq[Set[String]]) {
+    def day: String = Instant.ofEpochSecond(windowStartSec)
+      .atZone(ZoneOffset.UTC).toLocalDate.toString
+    def partition: String =
+      s"tool_key=${SinkKey.sanitize(tool)}/role=$role/day=$day"
+  }
+
   def run(spark: SparkSession, turns: DataFrame, outRoot: String,
           cfg: Config = Config(), batchId: Long = 0L): Result = {
     val t0 = System.nanoTime()
     def ms(since: Long): Long = (System.nanoTime() - since) / 1000000L
+    // day-partition keys, 1-day rollup windows and manifest stat days must
+    // all align — they are only comparable in UTC (ADVICE r1).
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "Pipeline requires spark.sql.session.timeZone=UTC")
 
     val routedPath = s"$outRoot/routed"
+    val prior = Manifest.latest(routedPath)
+
+    // Idempotent rerun: this batch already committed → no-op before any job
+    // (alco's REPLACE-INTO redelivery idempotency, at batch granularity).
+    if (prior.exists(_.committedBatchIds.contains(batchId)))
+      return Result(batchId, prior.get.snapshotId, 0L, 0L, 0L,
+        skippedCommitted = prior.get.committedPartitions.size.toLong,
+        mergedPartitions = 0L, stageTimings = Map("total_ms" -> ms(t0)))
+
+    // Close the crash window: any data file the committed snapshot does not
+    // name is an orphan (crash between write and commit, or a superseded
+    // pre-merge file) — delete it so re-appends can never duplicate rows.
+    val committedFileSet = prior.map(_.files.toSet).getOrElse(Set.empty)
+    cleanupOrphans(spark, routedPath, committedFileSet)
 
     // Classify (cheap: pattern dispatch only) BEFORE the dedup shuffle —
     // alco parses before storing, so a malformed duplicate never replaces a
     // valid row. Field extraction + enrich joins run AFTER dedup: the
-    // shuffle carries only flat narrow columns (no attrs map, no dim
-    // attributes), and the per-row regex-group/enrich work happens once per
-    // SURVIVING row — at 10^12 rows with redelivery dups this is the
-    // difference between shuffling 100 TB of wide rows and 40 TB of flat.
-    val obs = new org.apache.spark.sql.Observation(s"pipeline_batch_$batchId")
+    // shuffle carries only flat narrow columns, and the per-row regex-group/
+    // enrich work happens once per SURVIVING row.
+    val obs = new Observation(s"pipeline_batch_$batchId")
     val classified = Parse.classify(turns).observe(obs,
       count(lit(1)).as("input_rows"),
       count(when(col("pattern_id") === 0, 1)).as("quarantined_rows"))
@@ -78,142 +152,221 @@ object Pipeline {
     val keyed = routed0.withColumn("tool_key",
       when(col("tool") === "", lit("_none")).otherwise(col("tool")))
 
-    // Resume: skip partitions already committed in the sink manifest
-    // (Iceberg-snapshot emulation, SURVEY.md §7.4). Broadcast anti-join —
-    // the committed set is O(#partitions), tiny.
-    val committed = Manifest.committedPartitions(routedPath)
-    val routed1 =
-      if (committed.isEmpty) keyed
-      else {
-        import spark.implicits._
-        val cdf = committed.toSeq.toDF("__part")
-        keyed
-          .withColumn("__part", partitionKey)
-          .join(broadcast(cdf), Seq("__part"), "left_anti")
-          .drop("__part")
-      }
+    // Rollup counts + distinct sets + lineage ride the write: one KeyedRollup
+    // metric keyed by (tool, role, UTC day) with the filtered columns' values
+    // as the distinct slots. No second pass over the data, ever.
+    val distinctCols = cfg.distinctColumns
+    val rollObs = new Observation(s"rollup_batch_$batchId")
+    // The key/values are materialized as columns BEFORE the observe so the
+    // concat/date_trunc/cast work runs codegen'd inside the projection; the
+    // accumulator's per-row interpreted eval then only reads two attributes.
+    // The drop() after observe keeps them out of the written files.
+    val statsKey = concat_ws(KeySep, col("tool"), col("role"),
+      unix_timestamp(date_trunc("DAY", col("ts"))).cast("string"))
+    val distinctArr = array(distinctCols.map(c => col(c).cast("string")): _*)
 
     // Fan-out write straight off the dedup shuffle. sortWithinPartitions by
     // the sink key keeps the dynamic-partition writer on one open file at a
     // time; (conv_id, turn_idx) as the sort tail preserves the stable order
-    // inside each file. The salt column is dropped here (it exists for
-    // callers that re-shuffle, e.g. streaming); the dedup hash partitioning
-    // already spreads hot conversations uniformly.
+    // inside each file.
     val tWrite = System.nanoTime()
-    routed1
-      .select(routedColumns.map(col) :+ col("tool_key"): _*)
+    keyed
+      .select(cfg.writeColumns.map(col) ++ Seq(col("tool_key"),
+        statsKey.as("__stats_key"), distinctArr.as("__distinct_vals")): _*)
+      .observe(rollObs, KeyedRollup.keyed_rollup(
+        col("__stats_key"), col("__distinct_vals")).as("rollup"))
+      .drop("__stats_key", "__distinct_vals")
       .sortWithinPartitions("tool_key", "role", "day", "conv_id", "turn_idx")
       .write
       .mode(SaveMode.Append)
       .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
+      // point lookups (grep context view) seek by conv_id — bloom filters
+      // skip row groups without touching dictionary pages.
+      .option("parquet.bloom.filter.enabled#conv_id", "true")
       .partitionBy("tool_key", "role", "day")
       .parquet(routedPath)
     val writeMs = ms(tWrite)
 
-    // This batch's rows live in exactly the partition dirs that were NOT in
-    // the pre-write committed set (resume guarantees a batch only ever
-    // writes into uncommitted partitions), so the read-back lists the dirs
-    // driver-side (O(#partitions)) and reads ONLY the new paths — no
-    // full-table listing, no filter over old data.
-    //
-    // ONE aggregation job then feeds ALL batch metadata: per-(tool, role,
-    // 1-day-window) counts (the rollup — exactly lineage granularity) plus
-    // per-window collect_sets of the filtered columns. Its cardinality is
-    // bounded (tools × roles × days — a few thousand rows/year even at
-    // 10^12 turns), so the driver merges the distinct sets and
-    // re-parallelizes three tiny tables for free. At 4 threads this is the
-    // difference between ~7 s of stacked read-back jobs and ~2 s.
     val tAgg = System.nanoTime()
-    val newParts = listPartitionDirs(spark, routedPath) -- committed
-    import spark.implicits._
-    val rollRows: Array[org.apache.spark.sql.Row] =
-      if (newParts.isEmpty) Array.empty
-      else {
-        val batchDf = spark.read.option("basePath", routedPath)
-          .parquet(newParts.toSeq.map(p => s"$routedPath/$p"): _*)
-        val setCols = cfg.distinctColumns.map(c =>
-          sort_array(collect_set(col(c).cast("string"))).as(s"set_$c"))
-        batchDf
-          .groupBy(col("tool"), col("role"), window(col("ts"), "1 day"))
-          .agg(count(lit(1)).as("n"), setCols: _*)
-          .select(Seq(col("tool"), col("role"),
-            col("window.start").as("window_start"),
-            col("window.end").as("window_end"), col("n")) ++
-            cfg.distinctColumns.map(c => col(s"set_$c")): _*)
-          .collect()
-      }
+    val contribs: Seq[Contrib] = Try(rollObs.get).toOption
+      .flatMap(_.get("rollup"))
+      .map(j => KeyedRollup.parse(j.asInstanceOf[String]).map { e =>
+        val Array(tool, role, sec) = e.key.split(KeySep, -1)
+        Contrib(tool, role, sec.toLong, e.n, e.sets)
+      })
+      .getOrElse(Seq.empty)
 
-    rollRows.toSeq.map(r => (r.getString(0), r.getString(1),
-        r.getTimestamp(2), r.getTimestamp(3), r.getLong(4)))
-      .toDF("tool", "role", "window_start", "window_end", "n")
+    // REPLACE across batches: rewrite partitions that already had committed
+    // rows (bounded to the overlap — zero extra work on the fresh path).
+    val touched = contribs.map(_.partition).distinct
+    val committedParts = prior.map(_.committedPartitions.toSet).getOrElse(Set.empty)
+    val overlap = touched.filter(committedParts.contains)
+    val (mergedCounts, mergedFiles) =
+      if (overlap.isEmpty) (Map.empty[String, Long], Map.empty[String, Seq[String]])
+      else mergeOverlapping(spark, routedPath, s"$outRoot/_merge_tmp",
+        overlap, batchId, cfg)
+
+    // Committed file set after this batch: carry forward untouched
+    // partitions, take the merge outputs for rewritten ones, and everything
+    // on disk for fresh ones (orphans were cleaned, so all files there are
+    // this batch's).
+    val overlapSet = overlap.toSet
+    val carried = committedFileSet.filter(f =>
+      !touched.exists(p => f.startsWith(p + "/"))).toSeq
+    val newFiles = touched.flatMap { p =>
+      if (overlapSet.contains(p)) mergedFiles(p).map(n => s"$p/$n")
+      else listFiles(spark, s"$routedPath/$p").map(n => s"$p/$n")
+    }
+
+    val stats = touched.map { p =>
+      val contributed = contribs.filter(_.partition == p).map(_.n).sum
+      Manifest.PartitionStat(p, mergedCounts.getOrElse(p, contributed))
+    }
+    val routedRows = contribs.map(_.n).sum
+    val aggMs = ms(tAgg)
+
+    // observe() metrics ride the write pass for free; a degenerate zero-task
+    // plan falls back to counting.
+    val metrics = Try(obs.get).toOption.filter(_.nonEmpty)
+    val quarantined = metrics.map(_("quarantined_rows").asInstanceOf[Long])
+      .getOrElse(quarantine.count())
+    val inputRows = metrics.map(_("input_rows").asInstanceOf[Long])
+      .getOrElse(turns.count())
+
+    // COMMIT POINT: atomic manifest rename. Crash before → this batch's
+    // files are orphans, cleaned next run. Crash after → batch is committed,
+    // rerun short-circuits on batchId.
+    val snap = Manifest.commit(routedPath, batchId, stats,
+      carried ++ newFiles, ms(t0))
+
+    // Vacuum superseded files of merged partitions (post-commit; a crash
+    // here just leaves orphans for the next run's cleanup).
+    if (overlap.nonEmpty)
+      cleanupOrphans(spark, routedPath, snap.files.toSet)
+
+    writeBatchOutputs(spark, outRoot, batchId, contribs, distinctCols)
+
+    import spark.implicits._
+    val audit = contribs.map(c =>
+      (snap.snapshotId, batchId, c.partition, c.n, ms(t0)))
+      .toDF("snapshot_id", "batch_id", "partition", "row_count", "wall_ms")
+    audit.write.mode(SaveMode.Append).parquet(s"$outRoot/audit")
+
+    Result(batchId, snap.snapshotId, inputRows, routedRows, quarantined,
+      skippedCommitted = committedParts.size.toLong,
+      mergedPartitions = overlap.size.toLong,
+      stageTimings = Map("write_ms" -> writeMs, "agg_ms" -> aggMs,
+        "total_ms" -> ms(t0)))
+  }
+
+  /** Per-batch rollup + distinct-set tables (alco's Redis counters/SADD
+    * caches) — driver-local rows, bounded cardinality, two tiny writes.
+    */
+  private def writeBatchOutputs(spark: SparkSession, outRoot: String,
+      batchId: Long, contribs: Seq[Contrib], distinctCols: Seq[String]): Unit = {
+    import spark.implicits._
+    contribs.map { c =>
+      val start = java.sql.Timestamp.from(Instant.ofEpochSecond(c.windowStartSec))
+      val end = java.sql.Timestamp.from(Instant.ofEpochSecond(c.windowStartSec + 86400L))
+      (c.tool, c.role, start, end, c.n)
+    }.toDF("tool", "role", "window_start", "window_end", "n")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$outRoot/rollup_counts_batch_$batchId")
 
-    // distinct-value sets per (sink, column) — alco's Redis SADD caches —
-    // merged across windows driver-side (bounded value space, D6).
-    val distinctRows = rollRows.toSeq.flatMap { r =>
-      val sink = s"${r.getString(0)}/${r.getString(1)}"
-      cfg.distinctColumns.zipWithIndex.map { case (c, i) =>
-        ((sink, c), r.getSeq[String](5 + i).toSet)
+    val distinctRows = contribs.flatMap { c =>
+      val sink = s"${c.tool}/${c.role}"
+      distinctCols.zipWithIndex.map { case (dc, i) =>
+        ((sink, dc), c.sets.lift(i).getOrElse(Set.empty))
       }
     }.groupMapReduce(_._1)(_._2)(_ ++ _)
       .toSeq.collect { case ((sink, c), vs) if vs.nonEmpty => (sink, c, vs.toSeq.sorted) }
     distinctRows.toDF("sink_key", "column", "values")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$outRoot/distinct_sets_batch_$batchId")
-
-    // Lineage: per-partition row counts → manifest snapshot + audit table.
-    val stats = rollRows.map { r =>
-      val toolKey = if (r.getString(0).isEmpty) "_none" else r.getString(0)
-      val day = r.getTimestamp(2).toInstant.atZone(java.time.ZoneOffset.UTC)
-        .toLocalDate.toString
-      Manifest.PartitionStat(
-        s"tool_key=$toolKey/role=${r.getString(1)}/day=$day", r.getLong(4))
-    }.toSeq
-    val aggMs = ms(tAgg)
-    val routedRows = stats.map(_.rowCount).sum
-
-    // observe() metrics ride the write pass for free; edge cases (fully
-    // pruned rerun → no tasks touch the observe node) fall back to counting.
-    val metrics = scala.util.Try(obs.get).toOption.filter(_.nonEmpty)
-    val quarantined = metrics.map(_("quarantined_rows").asInstanceOf[Long])
-      .getOrElse(quarantine.count())
-    val inputRows = metrics.map(_("input_rows").asInstanceOf[Long])
-      .getOrElse(turns.count())
-
-    val snap = Manifest.commit(routedPath, batchId, stats, ms(t0))
-
-    val audit = stats.map(s =>
-      (snap.snapshotId, batchId, s.partition, s.rowCount, ms(t0)))
-      .toDF("snapshot_id", "batch_id", "partition", "row_count", "wall_ms")
-    audit.write.mode(SaveMode.Append).parquet(s"$outRoot/audit")
-
-    Result(batchId, snap.snapshotId, inputRows, routedRows, quarantined,
-      skippedCommitted = committed.size.toLong,
-      stageTimings = Map("write_ms" -> writeMs, "agg_ms" -> aggMs,
-        "total_ms" -> ms(t0)))
   }
 
-  /** "tool_key=…/role=…/day=…" — the partition identity used by the
-    * manifest's committed set.
+  /** Copy-on-write rewrite of partitions receiving rows on top of committed
+    * data: read (committed ∪ just-appended) files of those partitions,
+    * REPLACE-dedup, write fresh files to a staging dir, move them in under
+    * merge-tagged names. Old files are superseded and become orphans once
+    * the commit snapshot stops naming them.
+    *
+    * @return (rows per partition after merge, merge file names per partition)
     */
-  private def partitionKey =
-    format_string("tool_key=%s/role=%s/day=%s",
-      col("tool_key"), col("role"), col("day").cast("string"))
+  private def mergeOverlapping(spark: SparkSession, routedPath: String,
+      mergeTmp: String, parts: Seq[String], batchId: Long,
+      cfg: Config): (Map[String, Long], Map[String, Seq[String]]) = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val tmpPath = new org.apache.hadoop.fs.Path(mergeTmp)
+    val fs = tmpPath.getFileSystem(hconf)
+    fs.delete(tmpPath, true) // stale staging from a crashed merge
 
-  /** Driver-side listing of the table's partition dirs (O(#partitions)
-    * filesystem metadata, never O(rows)) as manifest partition keys.
-    */
-  private def listPartitionDirs(spark: SparkSession, root: String): Set[String] = {
-    val p = new org.apache.hadoop.fs.Path(root)
+    val df = spark.read.option("basePath", routedPath)
+      .parquet(parts.map(p => s"$routedPath/$p"): _*)
+    val mObs = new Observation(s"merge_batch_$batchId")
+    val partKey = format_string("tool_key=%s/role=%s/day=%s",
+      col("tool_key"), col("role"), col("day").cast("string"))
+    Route.replaceSemantics(df)
+      .observe(mObs, KeyedRollup.keyed_rollup(partKey,
+        array().cast("array<string>")).as("counts"))
+      .sortWithinPartitions("tool_key", "role", "day", "conv_id", "turn_idx")
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
+      .option("parquet.bloom.filter.enabled#conv_id", "true")
+      .partitionBy("tool_key", "role", "day")
+      .parquet(mergeTmp)
+
+    val counts = Try(mObs.get).toOption.flatMap(_.get("counts"))
+      .map(j => KeyedRollup.parse(j.asInstanceOf[String])
+        .map(e => e.key -> e.n).toMap)
+      .getOrElse(Map.empty)
+
+    // Move merge outputs into the live partition dirs (driver-side,
+    // O(#files in overlapping partitions)).
+    val moved = parts.map { p =>
+      val names = listFiles(spark, s"$mergeTmp/$p").map { name =>
+        val dest = s"merge-$batchId-$name"
+        fs.rename(new org.apache.hadoop.fs.Path(s"$mergeTmp/$p/$name"),
+          new org.apache.hadoop.fs.Path(s"$routedPath/$p/$dest"))
+        dest
+      }
+      p -> names
+    }.toMap
+    fs.delete(tmpPath, true)
+    (counts, moved)
+  }
+
+  /** Non-hidden data files directly under `dir` (driver-side metadata). */
+  private def listFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return Set.empty
-    val glob = new org.apache.hadoop.fs.Path(root, "tool_key=*/role=*/day=*")
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath.getName)
+      .filterNot(n => n.startsWith(".") || n.startsWith("_"))
+  }
+
+  /** Delete every data file under the table that the committed snapshot does
+    * not name (plus writer staging leftovers). O(#files) driver-side
+    * metadata work — the same scale Iceberg's orphan-file cleanup pays.
+    */
+  private[alco] def cleanupOrphans(spark: SparkSession, root: String,
+      committed: Set[String]): Unit = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_temporary"), true)
+    val glob = new org.apache.hadoop.fs.Path(root, "tool_key=*/role=*/day=*/*")
     Option(fs.globStatus(glob)).getOrElse(Array.empty)
-      .filter(_.isDirectory)
-      .map { st =>
-        val d = st.getPath
-        s"${d.getParent.getParent.getName}/${d.getParent.getName}/${d.getName}"
-      }.toSet
+      .filter(_.isFile)
+      .foreach { st =>
+        val f = st.getPath
+        val rel = s"${f.getParent.getParent.getParent.getName}/" +
+          s"${f.getParent.getParent.getName}/${f.getParent.getName}/${f.getName}"
+        val name = f.getName
+        if (!name.startsWith(".") && !name.startsWith("_") &&
+            !committed.contains(rel)) {
+          fs.delete(f, false)
+        }
+      }
   }
 }

@@ -122,12 +122,139 @@ object RollingHash64 {
   }
 }
 
+/** Distinct 64-bit hashes of the word n-gram shingles of a text column →
+  * array<long>. One tight codegen'd pass replacing a 4-deep higher-order-
+  * function chain (lower → regexp_extract_all → transform(slice/concat) →
+  * transform(hash) → array_distinct) whose lambdas are CodegenFallback —
+  * interpreted eval there costs ~2 ms/doc and dominated the MinHash op.
+  * Tokenization matches TextOps.tokens exactly (lowercase, `\w+` runs), and
+  * a shorter-than-n document yields one whole-text shingle, matching
+  * TextOps.shingles — so Jaccard over these hash sets equals shingle-set
+  * Jaccard up to 64-bit collisions.
+  */
+case class WordShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def prettyName: String = "word_shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingleHashes.ofText(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WordShingleHashes.ofText($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
+    copy(child = newChild)
+}
+
+object WordShingleHashes {
+  private val word = java.util.regex.Pattern.compile("\\w+")
+
+  /** Static helper shared by interpreted eval and generated code. */
+  def ofText(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toLowerCase.toString
+    val m = word.matcher(s)
+    val tokens = new scala.collection.mutable.ArrayBuffer[String](64)
+    while (m.find()) tokens += m.group()
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long](tokens.length)
+    if (tokens.length < n) {
+      // TextOps.shingles fallback: one whole-text shingle
+      out += Fnv64.hashBytes(tokens.mkString(" ")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } else {
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i <= tokens.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(tokens(i + j))
+          j += 1
+        }
+        val h = Fnv64.hashBytes(sb.toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if (seen.add(h)) out += h
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
+  }
+}
+
+/** MinHash signature over pre-hashed shingles: slot j = min_i mix(h_i, j),
+  * all k slots in ONE codegen'd pass over the array (the equivalent
+  * k × transform(array_min) higher-order chain is interpreted and
+  * re-evaluates the input array k times). mix = Murmur3 fmix64 of
+  * h ⊕ j·φ — full avalanche, so slots are independent hash families.
+  */
+case class MinHashSlots(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, "k must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.catalogString}")
+  }
+  override def prettyName: String = "minhash_slots"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSlots.ofHashes(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashSlots.ofHashes($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSlots =
+    copy(child = newChild)
+}
+
+object MinHashSlots {
+  final val Phi = 0x9E3779B97F4A7C15L
+
+  def mix(h: Long, j: Int): Long = {
+    var x = h ^ (j * Phi)
+    x ^= (x >>> 33); x *= 0xFF51AFD7ED558CCDL
+    x ^= (x >>> 33); x *= 0xC4CEB9FE1A85EC53L
+    x ^= (x >>> 33)
+    x
+  }
+
+  def ofHashes(arr: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = mix(h, j)
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(mins)
+  }
+}
+
 /** Column-API + SQL exposure of the custom expressions. */
 object GraftFunctions {
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
   def rolling_hash64(tokens: Column): Column =
     ColumnBridge.column(RollingHash64(ColumnBridge.expression(tokens)))
+  def word_shingle_hashes(text: Column, n: Int): Column =
+    ColumnBridge.column(WordShingleHashes(ColumnBridge.expression(text), n))
+  def minhash_slots(hashes: Column, k: Int): Column =
+    ColumnBridge.column(MinHashSlots(ColumnBridge.expression(hashes), k))
 
   /** Register simhash64 / rolling_hash64 for spark.sql(...) use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

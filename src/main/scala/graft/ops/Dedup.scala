@@ -45,12 +45,23 @@ object Dedup {
     df.join(keepers, Seq(idCol), "left_semi").dropDuplicates(Seq(idCol))
   }
 
-  /** MinHash signature: k independent hash slots, each the array_min of
-    * xxhash64(shingle, slot). Pure expressions — one projection, no UDF.
+  /** MinHash signature from PRE-HASHED shingles: slot j = min_i mix(h_i, j),
+    * computed by the codegen'd MinHashSlots expression in ONE pass over the
+    * array. (The equivalent k × array_min(transform(...)) higher-order
+    * chain is CodegenFallback — interpreted lambdas cost ~2 ms/doc and
+    * dominated this operator's round-1 runtime.)
     */
-  def minhashSig(shinglesCol: Column, k: Int): Column =
-    array((0 until k).map(j =>
-      array_min(transform(shinglesCol, s => xxhash64(s, lit(j))))): _*)
+  def minhashSig(hashedShingles: Column, k: Int): Column =
+    GraftFunctions.minhash_slots(hashedShingles, k)
+
+  /** Distinct 64-bit shingle hashes of a text column (codegen'd single
+    * pass). Downstream Jaccard on these hash SETS equals shingle-set
+    * Jaccard up to 64-bit collisions (~n²/2⁶⁴ — negligible), and the arrays
+    * are fixed-width longs instead of strings: cheaper to shuffle,
+    * intersect and remix.
+    */
+  def shingleHashes(textCol: Column, shingleN: Int): Column =
+    GraftFunctions.word_shingle_hashes(textCol, shingleN)
 
   /** MinHash/LSH near-duplicate pairs with verified shingle-Jaccard.
     *
@@ -63,27 +74,42 @@ object Dedup {
                       threshold: Double = 0.6): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    val withSig = df
-      .select(col(idCol).as("id"),
-        shingles(tokens(col(textCol)), shingleN).as("sh"))
-      .withColumn("sig", minhashSig(col("sh"), k))
+    // One string-hash pass per document; everything downstream works on the
+    // long hashes (signature slots, band keys, and the Jaccard verify).
+    val hashed = df.select(col(idCol).as("id"),
+      shingleHashes(col(textCol), shingleN).as("shh"))
+    val withSig = hashed.withColumn("sig", minhashSig(col("shh"), k))
     // band keys: hash the slice of r minhashes per band; explode → bucket.
-    val banded = withSig.select(col("id"), col("sh"),
+    // ONLY (id, band, bucket) rides the explode+shuffle — carrying the full
+    // shingle arrays here would inflate the shuffle `bands`-fold (the
+    // round-1 shape; at 100 TB that is the dominant cost of the whole op).
+    val banded = withSig.select(col("id"),
       posexplode(array((0 until bands).map(bd =>
-        xxhash64(concat_ws(",", slice(col("sig"), bd * r + 1, r)), lit(bd))): _*))
+        xxhash64(slice(col("sig"), bd * r + 1, r), lit(bd))): _*))
         .as(Seq("band", "bucket")))
     // within-bucket candidate pairs (self-join on the bucket key — AQE
-    // handles residual skew; bucket sizes are small by LSH construction).
-    val a = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
+    // handles residual skew; bucket sizes are small by LSH construction),
+    // DEDUPLICATED before the expensive verify: a pair colliding in m bands
+    // is verified once, not m times.
+    val pairs = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    // verify: melt each pair into (pair, side, id) rows and join the hash
+    // sets back in ONE pass (two plain joins would scan + re-shingle the
+    // corpus once per side), then Jaccard on the reassembled set pair.
+    val sides = pairs.select(col("id_a"), col("id_b"),
+      posexplode(array(col("id_a"), col("id_b"))).as(Seq("side", "id")))
+    sides.join(hashed, Seq("id"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(
+        first(when(col("side") === 0, col("shh")), ignoreNulls = true).as("sh_a"),
+        first(when(col("side") === 1, col("shh")), ignoreNulls = true).as("sh_b"))
       .select(col("id_a"), col("id_b"),
-        jaccard(array_distinct(col("sh_a")), array_distinct(col("sh_b"))).as("jaccard"))
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .groupBy("id_a", "id_b").agg(first("jaccard").as("jaccard"))
   }
 
   /** SimHash near-duplicate pairs: hamming(sig_a, sig_b) <= maxHamming.
@@ -108,9 +134,52 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
   }
 
+  /** Exact n-gram-Jaccard similar pairs via an inverted-postings join — the
+    * scale-correct EXACT algorithm (no LSH approximation, no cartesian):
+    * explode each doc's distinct shingles, equi-join postings on the shingle
+    * to count intersections, then |A∩B| / (|A|+|B|−|A∩B|). Pairs sharing
+    * zero shingles never materialize, which is exactly the pruning a
+    * threshold > 0 permits. Shuffle volume = total postings, not |df|².
+    *
+    * `sampleMod` restricts the left side to ids ≡ 0 (mod sampleMod) — the
+    * same bound the brute variant uses. At web scale add a document-
+    * frequency cap on postings (drop stop-shingles) — not applied here
+    * because it would change exact results.
+    */
+  def jaccardPairsByPostings(df: DataFrame, idCol: String, textCol: String,
+                             shingleN: Int = 3, threshold: Double = 0.5,
+                             sampleMod: Int = 1): DataFrame =
+    jaccardPairsFromSets(
+      df.select(col(idCol).as("id"),
+        array_distinct(shingles(tokens(col(textCol)), shingleN)).as("sh")),
+      threshold, sampleMod)
+
+  /** Postings-join Jaccard over a prepared `(id, sh: array<string> SET)`
+    * frame (see jaccardPairsByPostings for the algorithm and bounds).
+    */
+  def jaccardPairsFromSets(sets: DataFrame, threshold: Double,
+                           sampleMod: Int = 1): DataFrame = {
+    require(threshold > 0.0, "threshold must be > 0 (zero-overlap pairs are pruned)")
+    val t = sets.select(col("id"), col("sh"), size(col("sh")).as("sz"))
+    val postings = t.select(col("id"), col("sz"), explode(col("sh")).as("tok"))
+    val left = postings.filter(pmod(col("id"), lit(sampleMod)) === 0)
+      .select(col("tok"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val right = postings
+      .select(col("tok"), col("id").as("id_b"), col("sz").as("sz_b"))
+    left.join(right, Seq("tok"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** n-gram Jaccard similarity for explicit candidate pairs (brute variant
     * used as the LSH recall oracle in tests; bounded by `sampleMod` so the
-    * pair count stays ~|df|²/mod).
+    * pair count stays ~|df|²/mod). Test-oracle only — the postings join
+    * above is the production shape.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, threshold: Double = 0.5,

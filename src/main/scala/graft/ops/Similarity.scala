@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (array<float>).
@@ -31,9 +30,27 @@ object Similarity {
     when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
   }
 
+  /** Rank the scored (query_id, neighbor_id, cos) rows into per-query top-k
+    * via the bounded TopKRows hash aggregate — never a Window: a
+    * `row_number().over(partitionBy(query_id))` would shuffle EVERY scored
+    * corpus row into #queries partitions and sort them; the aggregate ships
+    * k rows per (task, query) and sorts nothing bigger than 2k.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKRows.top_k_rows(
+        struct(col("neighbor_id"), col("cos")),
+        struct(negate(col("cos")).as("neg_cos"), col("neighbor_id")),
+        k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "r")))
+      .select(col("query_id"), col("r.neighbor_id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"), col("r.cos").as("cos"))
+
   /** Exact top-k neighbors for each query row. Queries are broadcast (must
     * be small — the ad-hoc search shape); corpus side streams, so this
-    * scales to arbitrary corpus size with zero shuffle of the corpus.
+    * scales to arbitrary corpus size with zero shuffle of the corpus — the
+    * only shuffled rows are the per-task k-row partial top-k buffers.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -41,12 +58,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+    rankTopK(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
@@ -85,11 +97,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+    rankTopK(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs (cos >= threshold), LSH-bucketed

@@ -53,6 +53,26 @@ class PlanSpec extends SparkSpec {
       s"every parse Project must be codegen'd:\n$p")
   }
 
+  test("ANN top-k plans have no Window — bounded TopKRows hash agg instead") {
+    Seq("q24_ann_brute", "q25_ann_lsh").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, dir))
+      assert(!p.contains("Window"), s"$q must not plan a window:\n$p")
+      assert(p.contains("ObjectHashAggregate"), s"$q expected hash agg:\n$p")
+    }
+  }
+
+  test("q14 offset pagination bounds with TakeOrdered before the window") {
+    val p = plan(SparkEntry.queries("q14_pagination")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q14 must bound with a distributed top-k first:\n$p")
+  }
+
+  test("q21 jaccard pairs plans no cartesian product") {
+    val p = plan(SparkEntry.queries("q21_jaccard_pairs")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"q21 must use the postings equi-join:\n$p")
+  }
+
   test("dedup hash-shuffle dissolves the hot-conversation skew") {
     import spark.implicits._
     // 30% of rows share one conv_id; after the dedup aggregation the rows

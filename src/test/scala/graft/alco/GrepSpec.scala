@@ -42,6 +42,43 @@ class GrepSpec extends SparkSpec {
     assert(all.toSeq == (p1 ++ p2).toSeq)
   }
 
+  test("NOT terms negate (Sphinx '-term' semantics)") {
+    val df = spark.read.parquet(routedPath)
+    val pos = df.filter(Grep.matchPredicate(Seq("retry"), Grep.MatchAny)).count()
+    // every "retry" fixture sentence also contains "merge"; the numeric
+    // suffix varies → negate on a digit token that only some rows carry.
+    val q = Grep.Query(terms = Seq("retry"), notTerms = Seq("7", "42"), limit = 1000000)
+    val got = Grep.query(spark, routedPath, q).collect()
+    assert(got.nonEmpty && got.length < pos)
+    assert(got.forall { r =>
+      val toks = r.getAs[String]("text").toLowerCase.split("\\W+").toSet
+      toks.contains("retry") && !toks.contains("7") && !toks.contains("42")
+    })
+  }
+
+  test("multi-sink selector prunes to the chosen (tool, role) partitions") {
+    val sinks = Seq(SinkKey("bash", "tool"), SinkKey("search", "tool"))
+    val q = Grep.Query(limit = 1000000)
+    val got = Grep.querySinks(spark, routedPath, sinks, q)
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => Seq("bash", "search").contains(r.getAs[String]("tool_key"))))
+    val plan = got.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") || !plan.contains("edit"),
+      "sink selection must reach the partition filters")
+  }
+
+  test("multi-table union grep (unionByName across routed tables)") {
+    val out2 = tmpDir("grep2")
+    Pipeline.run(spark, Gen.turns(spark, 2000L, seed = 7L).toDF(), out2,
+      Pipeline.Config(saltBuckets = 4))
+    val q = Grep.Query(terms = Seq("retry"), limit = 1000000)
+    val a = Grep.query(spark, routedPath, q).count()
+    val b = Grep.query(spark, s"$out2/routed", q).count()
+    val u = Grep.queryTables(spark, Seq(routedPath, s"$out2/routed"), q).count()
+    assert(u == a + b)
+  }
+
   test("total honors max_matches bound") {
     val q = Grep.Query(terms = Seq("the"))
     val full = Grep.total(spark, routedPath, q)

@@ -95,26 +95,74 @@ class PipelineSpec extends SparkSpec {
     assert(snap.stats.map(_.rowCount).sum == result.routedRows)
   }
 
-  test("rerun resumes from the manifest: no double-write") {
+  test("rerun of a committed batchId is an idempotent no-op") {
     result // batch 0 must have committed first
-    val r2 = Pipeline.run(spark, turns.toDF(), out, Pipeline.Config(saltBuckets = 8), batchId = 1L)
-    assert(r2.routedRows == 0L, "all partitions already committed → skip all")
+    val r2 = Pipeline.run(spark, turns.toDF(), out, Pipeline.Config(saltBuckets = 8), batchId = 0L)
+    assert(r2.routedRows == 0L, "committed batch rerun must short-circuit")
+    assert(r2.skippedCommitted > 0)
     val rows = spark.read.parquet(s"$out/routed").count()
     assert(rows == result.routedRows, "no duplicate rows after rerun")
   }
 
-  test("partial commit resumes exactly-once") {
-    val out2 = tmpDir("pipe_resume")
-    val half = turns.filter($"ts" < lit("2025-01-03 00:00:00").cast("timestamp"))
+  test("crash between write and commit leaves no duplicates on rerun") {
+    val out3 = tmpDir("pipe_crash")
+    // Simulate a crash AFTER the data write but BEFORE the manifest commit:
+    // run the pipeline fully, then delete the manifest — the data files are
+    // now exactly what an interrupted run leaves behind (uncommitted).
+    Pipeline.run(spark, turns.toDF(), out3, Pipeline.Config(saltBuckets = 8), batchId = 0L)
+    val fs = java.nio.file.Paths.get(s"$out3/routed/_manifest")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(fs).iterator().asScala.toSeq
+      .foreach(java.nio.file.Files.delete)
+    // Rerun the same batch: orphan cleanup must delete the uncommitted files
+    // before writing, so the table ends exactly-once.
+    val r2 = Pipeline.run(spark, turns.toDF(), out3, Pipeline.Config(saltBuckets = 8), batchId = 0L)
+    assert(r2.routedRows == oracleRouted.size)
+    val routed = spark.read.parquet(s"$out3/routed")
+    assert(routed.count() == oracleRouted.size, "rerun after crash is exactly-once")
+    val dups = routed.groupBy($"conv_id", $"turn_idx").count()
+      .filter($"count" > 1).count()
+    assert(dups == 0L)
+    // the manifest's committed file set is exactly what is on disk
+    val snap = Manifest.latest(s"$out3/routed").get
+    assert(snap.files.nonEmpty)
+    assert(snap.files.toSet == listDataFiles(s"$out3/routed"))
+  }
+
+  test("new batch into a committed partition merges (REPLACE), never drops or duplicates") {
+    val out2 = tmpDir("pipe_merge")
+    val cut = lit("2025-01-03 00:00:00").cast("timestamp")
+    val half = turns.filter($"ts" < cut)
     Pipeline.run(spark, half.toDF(), out2, Pipeline.Config(saltBuckets = 8), batchId = 0L)
     val partial = spark.read.parquet(s"$out2/routed").count()
+    // batch 1 re-delivers ALL rows — overlapping days must merge via
+    // REPLACE (the round-1 anti-join silently dropped new rows for
+    // committed days), non-overlapping days append.
     val r2 = Pipeline.run(spark, turns.toDF(), out2, Pipeline.Config(saltBuckets = 8), batchId = 1L)
-    val total = spark.read.parquet(s"$out2/routed").count()
-    // day-partitions committed in batch 0 are skipped; only new days written.
-    assert(total > partial)
-    assert(r2.skippedCommitted > 0)
-    val dups = spark.read.parquet(s"$out2/routed")
-      .groupBy($"conv_id", $"turn_idx").count().filter($"count" > 1).count()
-    assert(dups == 0L, "exactly-once per (conv_id, turn_idx) partition-key")
+    assert(r2.mergedPartitions > 0, "overlapping partitions must merge")
+    val routed = spark.read.parquet(s"$out2/routed")
+    assert(routed.count() > partial)
+    assert(routed.count() == oracleRouted.size, "merged table equals full oracle")
+    val dups = routed.groupBy($"conv_id", $"turn_idx").count()
+      .filter($"count" > 1).count()
+    assert(dups == 0L, "REPLACE merge is exactly-once per (conv_id, turn_idx)")
+    // manifest stats reflect post-merge totals
+    val snap = Manifest.latest(s"$out2/routed").get
+    assert(snap.files.toSet == listDataFiles(s"$out2/routed"),
+      "vacuum leaves exactly the committed files on disk")
+  }
+
+  private def listDataFiles(root: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Paths.get(root)
+    java.nio.file.Files.walk(base).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(p => base.relativize(p).toString)
+      .filter(p => p.startsWith("tool_key="))
+      .filterNot { p =>
+        val name = p.substring(p.lastIndexOf('/') + 1)
+        name.startsWith(".") || name.startsWith("_")
+      }
+      .toSet
   }
 }

@@ -42,6 +42,44 @@ class ExprSpec extends SparkSpec {
     assert(h(0) == h(2) && h(0) != h(1))
   }
 
+  test("word_shingle_hashes matches the higher-order TextOps chain") {
+    import graft.ops.TextOps
+    val df = Seq(
+      Tuple1("The quick brown fox jumps over the lazy dog"),
+      Tuple1("two toks"), // shorter than n → one whole-text shingle
+      Tuple1(""),
+      Tuple1("a a a a a") // repeated shingles → distinct collapses
+    ).toDF("text")
+    val fast = df.select(GraftFunctions.word_shingle_hashes($"text", 3)).collect()
+      .map(_.getSeq[Long](0))
+    // the HOF reference chain it replaces (string shingles, then FNV)
+    val slow = df.select(TextOps.shingles(TextOps.tokens($"text"), 3)).collect()
+      .map(_.getSeq[String](0).distinct.map(s =>
+        Fnv64.hashBytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+    fast.zip(slow).zipWithIndex.foreach { case ((f, s), i) =>
+      assert(f == s, s"row $i: $f vs $s")
+    }
+    // interpreted path agrees
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = df.select(GraftFunctions.word_shingle_hashes($"text", 3))
+        .collect().map(_.getSeq[Long](0))
+      assert(interp.toSeq.map(_.toSeq) == fast.toSeq.map(_.toSeq))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("minhash_slots: one-pass minima equal the per-slot reference") {
+    val df = Seq(Tuple1(Seq(3L, 99L, -5L, 12345L)), Tuple1(Seq(7L)))
+      .toDF("hs")
+    val got = df.select(GraftFunctions.minhash_slots($"hs", 8)).collect()
+      .map(_.getSeq[Long](0))
+    val want = Seq(Seq(3L, 99L, -5L, 12345L), Seq(7L)).map(hs =>
+      (0 until 8).map(j => hs.map(h => MinHashSlots.mix(h, j)).min))
+    assert(got.toSeq.map(_.toSeq) == want)
+    // same input → same slots; different slot index → (overwhelmingly) different family
+    assert(got(0).distinct.length > 1)
+  }
+
   test("type check rejects non-array input") {
     val e = intercept[Exception] {
       Seq(1).toDF("x").select(GraftFunctions.simhash64($"x")).collect()

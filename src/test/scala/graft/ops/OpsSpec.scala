@@ -72,6 +72,30 @@ class OpsSpec extends SparkSpec {
     assert(f(1L)._2 == f(3L)._2)
   }
 
+  test("TopKRows ranking equals a driver-side sort oracle (ranks included)") {
+    val vecs = (0 until 120).map { i =>
+      (i.toLong, (0 until 8).map(d => math.sin(i * 0.91 + d * 0.53).toFloat).toArray)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(df, df.filter($"vec_id" < 3), 7)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na * nb == 0) 0.0 else dot / (na * nb)
+    }
+    val byId = vecs.toMap
+    (0L until 3L).foreach { q =>
+      val want = vecs.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(byId(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(7).map(_._1)
+      want.zipWithIndex.foreach { case (id, i) =>
+        assert(got((q, i + 1)) == id, s"query $q rank ${i + 1}")
+      }
+    }
+  }
+
   test("brute-force cosine topk is exact; LSH topk has decent recall") {
     val vecs = (0 until 300).map { i =>
       val v = (0 until 16).map(d =>
