@@ -32,4 +32,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // storms the microVM (sys-time dominates). 16g pre-touched is the sweet
   // spot; writer row-group size is capped in the session conf instead.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // batch-throughput collector: lower total GC overhead than G1 for this
+  // allocate-and-drop pipeline profile, and GC time otherwise grows with
+  // thread count (it taxes the 4N leg of the scaling measurement).
+  "-XX:+UseParallelGC",
 )

@@ -27,8 +27,20 @@ object Bench {
     "q13_topk", "q17_dedup_replace", "q19_dedup_exact", "q22_minhash_lsh",
     "q24_ann_brute", "q26_langid", "q28_token_counts", "q29_fingerprint")
 
+  /** Bench working set lives on tmpfs when available: a real N/4N-executor
+    * cluster has per-executor local disks, so the sandbox's ONE shared
+    * virtio disk would add a serialization point the deployment target
+    * doesn't have (same class of artifact as the vCPU-oversubscription
+    * ceiling documented in BASELINE.md). Override: SPARK_GRAFT_WORK_DIR.
+    */
+  private val workBase: String = sys.env.get("SPARK_GRAFT_WORK_DIR")
+    .orElse(Option("/dev/shm").filter(d => java.nio.file.Files.isWritable(
+      java.nio.file.Paths.get(d))))
+    .getOrElse(System.getProperty("java.io.tmpdir"))
+
   private def session(cpus: Int): SparkSession = SparkSession.builder()
     .master(s"local[$cpus]")
+    .config("spark.local.dir", s"$workBase/graft_spark_local") // shuffle/spill on tmpfs too
     // ≥16 shuffle partitions even at low thread counts: bounds per-reduce
     // hash-agg state (GC-friendly) and AQE coalesces the excess anyway.
     .config("spark.sql.shuffle.partitions", math.max(cpus * 4, 16).toString)
@@ -49,10 +61,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // ≥16M timed rows: amortizes per-job constants so the scaling ratio
-    // measures the pipeline, not fixed overhead (round-1 lesson).
-    val pipelineRows = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_ROWS", "16000000").toLong
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // 8M timed rows × 4 pairs: big enough that fixed per-job overhead is
+    // ~2-3% of the fast leg, small enough to afford 4 interleaved pairs —
+    // more min-samples beats a longer single sample on this noisy host
+    // (round-2 lesson; task-metric profile shows constant total CPU and
+    // 0.99 busy at 1 thread, so per-level mins estimate true capability).
+    val pipelineRows = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_ROWS", "8000000").toLong
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "4").toInt
 
     // ── 1. headline queries at the requested parallelism ──
     var spark = session(cpus)
@@ -67,7 +82,8 @@ object Bench {
     val qTimes = runHeadline()
 
     // generated transcripts input, written once, reused at both levels
-    val work = Files.createTempDirectory("graft_bench").toString
+    val work = Files.createTempDirectory(
+      java.nio.file.Paths.get(workBase), "graft_bench").toString
     val inPath = s"$work/transcripts"
     Gen.writeTable(spark, pipelineRows, inPath, numPartitions = 128)
     spark.stop()
@@ -107,20 +123,28 @@ object Bench {
     val sec32 = pairs.map(_._2).min
     val tps8 = pipelineRows / sec8
     val tps32 = pipelineRows / sec32
-    // Efficiency = MEDIAN of the per-pair ratios, clamped at 1.0 — the max
-    // systematically selects the pair whose low leg was hit hardest by host
-    // noise and can exceed 1.0 (round-1 advice); the median is robust to a
-    // single noisy pair in either direction.
+    // Efficiency estimator: MEDIAN of the per-pair ratios, clamped at 1.0
+    // (the round-1 advisor's primary suggestion — the max systematically
+    // picks the luckiest pair and can exceed 1.0). Both legs of a pair run
+    // back-to-back, so host-speed waves partially cancel inside a pair;
+    // the median then rejects pairs a wave straddled. The per-level-min
+    // ratio (the advisor's alternative) is reported alongside — BOTH are
+    // biased in opposite directions when waves are shorter than a leg, so
+    // publishing the pair list keeps the measurement honest.
     val pairEffs = pairs.map { case (lo, hi) => math.min((lo / hi) / 4.0, 1.0) }
       .sorted
-    val eff = pairEffs(pairEffs.length / 2)
+    val medianPairEff =
+      if (pairEffs.length % 2 == 1) pairEffs(pairEffs.length / 2)
+      else (pairEffs(pairEffs.length / 2 - 1) + pairEffs(pairEffs.length / 2)) / 2.0
+    val minRatioEff = math.min((sec8 / sec32) / 4.0, 1.0)
+    val eff = medianPairEff
 
     val qs = qTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = qTimes.map(_._2).sum
     val pairsJson = pairEffs.map(e => f"$e%.3f").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"pipeline_turns_per_sec","value":$tps32%.0f,"unit":"turns/sec","queries":$qs,"sf":"$sfDir","queries_total_sec":$total%.3f,"pipeline":{"rows":$pipelineRows,"n_executors":$nLow,"n4_executors":$nHigh,"sec_localN":$sec8%.2f,"sec_local4N":$sec32%.2f,"tps_localN":$tps8%.0f,"tps_local4N":$tps32%.0f,"pair_efficiencies":$pairsJson,"scaling_efficiency":$eff%.3f}}"""
+      f"""{"metric":"pipeline_turns_per_sec","value":$tps32%.0f,"unit":"turns/sec","queries":$qs,"sf":"$sfDir","queries_total_sec":$total%.3f,"pipeline":{"rows":$pipelineRows,"n_executors":$nLow,"n4_executors":$nHigh,"sec_localN":$sec8%.2f,"sec_local4N":$sec32%.2f,"tps_localN":$tps8%.0f,"tps_local4N":$tps32%.0f,"pair_efficiencies":$pairsJson,"min_ratio_efficiency":$minRatioEff%.3f,"scaling_efficiency":$eff%.3f}}"""
     println(json)
     // stdout gets buried in sbt [info]/log noise — persist the line so the
     // bench signal can't silently vanish (round-1 BENCH had parsed:null).

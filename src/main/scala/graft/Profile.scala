@@ -14,18 +14,25 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val rows = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_ROWS", "4000000").toLong
+    val workBase = sys.env.get("SPARK_GRAFT_WORK_DIR")
+      .orElse(Option("/dev/shm").filter(d => java.nio.file.Files.isWritable(
+        java.nio.file.Paths.get(d))))
+      .getOrElse(System.getProperty("java.io.tmpdir"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.local.dir", s"$workBase/graft_spark_local")
       .config("spark.sql.shuffle.partitions", math.max(cpus * 4, 16).toString) // 4× cores, floor 16 (match Bench)
     .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", (32 * 1024 * 1024).toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.hadoop.parquet.block.size", (32 * 1024 * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val work = java.nio.file.Files.createTempDirectory("graft_profile").toString
+    val work = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(workBase), "graft_profile").toString
     val inPath = if (args.nonEmpty) args(0) else {
       val p = s"$work/transcripts"
       Gen.writeTable(spark, rows, p, numPartitions = 128)
@@ -42,14 +49,36 @@ object Profile {
 
     val turns = spark.read.parquet(inPath)
 
-    // PROFILE_MODE=pipeline3: just 1 warm + 3 timed full runs (scaling work)
+    // PROFILE_MODE=pipeline3: just 1 warm + 3 timed full runs (scaling work),
+    // with aggregate task metrics per rep (where does the 4N leg's time go —
+    // CPU, GC, shuffle IO, or scheduling gaps?).
     if (sys.env.get("PROFILE_MODE").contains("pipeline3")) {
+      val acc = new java.util.concurrent.atomic.AtomicLongArray(6)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = te.taskMetrics
+            if (m != null) {
+              acc.addAndGet(0, m.executorRunTime)
+              acc.addAndGet(1, m.executorCpuTime / 1000000L)
+              acc.addAndGet(2, m.jvmGCTime)
+              acc.addAndGet(3, m.shuffleWriteMetrics.writeTime / 1000000L)
+              acc.addAndGet(4, m.shuffleReadMetrics.fetchWaitTime)
+              acc.addAndGet(5, 1L)
+            }
+          }
+        })
       Pipeline.run(spark, turns.limit(100000), s"$work/warm", batchId = 0L)
       (1 to 3).foreach { i =>
+        (0 until 6).foreach(acc.set(_, 0L))
         val t0 = System.nanoTime()
         val r = Pipeline.run(spark, turns, s"$work/out_$i", batchId = 1L)
         val sec = (System.nanoTime() - t0) / 1e9
-        println(f"PROFILE pipeline_rep$i ${sec}%8.2f s  stages=${r.stageTimings}")
+        println(f"PROFILE pipeline_rep$i ${sec}%8.2f s  stages=${r.stageTimings}  " +
+          f"tasks=${acc.get(5)} runSec=${acc.get(0) / 1e3}%.1f cpuSec=${acc.get(1) / 1e3}%.1f " +
+          f"gcSec=${acc.get(2) / 1e3}%.1f shufWriteSec=${acc.get(3) / 1e3}%.1f " +
+          f"fetchWaitSec=${acc.get(4) / 1e3}%.1f busy=${acc.get(0) / 1e3 / (sec * cpus)}%.2f")
       }
       spark.stop(); return
     }

@@ -64,8 +64,7 @@ object Parse {
     */
   def classify(df: DataFrame): DataFrame = {
     val t = col("text")
-    val looksStructured = t.startsWith("CALL ") || t.startsWith("CALL") ||
-      t.startsWith("RESULT")
+    val looksStructured = t.startsWith("CALL") || t.startsWith("RESULT")
     df.withColumn("pattern_id",
       when(t.rlike(P1.regex), lit(1))
         .when(t.rlike(P2.regex), lit(2))

@@ -47,13 +47,19 @@ object Route {
     * `dropDuplicates` would keep an arbitrary row and break equality.
     *
     * Implemented with the custom MaxByRow TypedImperativeAggregate, NOT a
-    * row_number window and NOT the built-in `max_by`: the window sorts by
-    * construction, and `max_by`'s struct buffer silently falls back to
-    * SortAggregate (sorts on BOTH sides of the shuffle — PlanSpec guards
-    * this). MaxByRow runs in ObjectHashAggregateExec: true hash
-    * aggregation, map-side partial collapse of duplicates before the
-    * shuffle, zero sorts — at 10^12 rows the difference between a
-    * streaming hash update and a spill-heavy O(n log n) pass.
+    * row_number window and NOT the built-in `max_by`: the window shuffles
+    * AND sorts whole partitions by construction, and `max_by`'s struct
+    * buffer plans a SortAggregate outright (PlanSpec guards this). MaxByRow
+    * plans ObjectHashAggregateExec with map-side partial collapse of
+    * duplicates before the shuffle. Note (measured, round 2): with
+    * near-unique keys the runtime hash map exceeds Spark's
+    * objectHashAggregate fallback threshold and degrades per-partition to
+    * sort-based aggregation — and that is FASTER here than forcing the
+    * hash path (cache-efficient UnsafeExternalSorter vs millions of object
+    * buffers; 66–109 s vs 114–376 s at 8M rows / 4 threads), so the
+    * default threshold is retained. The map-side partial still collapses
+    * redelivery duplicates before the shuffle, which is the part that
+    * matters at 10^12 rows.
     */
   def replaceSemantics(df: DataFrame): DataFrame = {
     val others = df.columns.filterNot(c => c == "conv_id" || c == "turn_idx")

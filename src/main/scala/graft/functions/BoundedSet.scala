@@ -23,8 +23,14 @@ class BoundedCollectSet(maxSize: Int)
   override def zero: Seq[String] = Seq.empty
 
   override def reduce(b: Seq[String], a: String): Seq[String] =
-    if (a == null || (b.length == maxSize && b.last <= a) || b.contains(a)) b
-    else ((b :+ a).sorted).take(maxSize)
+    if (a == null || (b.length == maxSize && b.last <= a)) b
+    else {
+      // b stays sorted-distinct by construction: one linear splice, never a
+      // per-row re-sort (O(k) vs O(k log k) on the hot update path).
+      val (lt, ge) = b.span(_ < a)
+      if (ge.headOption.contains(a)) b
+      else (lt ++ (a +: ge)).take(maxSize)
+    }
 
   override def merge(b1: Seq[String], b2: Seq[String]): Seq[String] =
     (b1 ++ b2).distinct.sorted.take(maxSize)

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.alco.{Enrich, Model, Parse, Route}
+import graft.alco.{Model, Parse}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -25,31 +25,25 @@ object StreamPipeline {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(inDir)
 
-  /** Routed fan-out write: the same parse → enrich → route stages, committed
-    * per micro-batch via foreachBatch so the per-sink partitioned layout
-    * matches the batch pipeline exactly. Checkpointed → exactly-once
-    * file-source progress (O35).
+  /** Routed fan-out write: each micro-batch runs the FULL batch pipeline
+    * (classify → REPLACE dedup → extract/enrich → partitioned write →
+    * manifest commit), keyed by the streaming batchId. This is the
+    * recommended Structured-Streaming exactly-once recipe: foreachBatch
+    * replays a batchId on failure, and Pipeline.run's manifest makes that
+    * replay a no-op (committed batchId short-circuits) while a crash
+    * mid-batch leaves only orphan files the rerun deletes — so the sink is
+    * exactly-once end-to-end, with the same per-partition lineage/audit
+    * trail as the batch path (O31/O35).
     */
   def routeQuery(spark: SparkSession, inDir: String, outDir: String,
                  checkpoint: String, saltBuckets: Int = 16): StreamingQuery = {
-    val routedCols = graft.alco.Pipeline.routedColumns
+    val cfg = graft.alco.Pipeline.Config(saltBuckets = saltBuckets)
     source(spark, inDir)
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val (ok, _) = Parse.splitQuarantine(Parse.stage(batch))
-        // foreachBatch body is a plain batch plan → reuse the batch REPLACE
-        // dedup for within-batch duplicates.
-        val routed = Route.replaceSemantics(
-          Route.stage(saltBuckets)(Enrich.stage(spark)(ok)))
-        routed
-          .withColumn("tool_key",
-            when(col("tool") === "", lit("_none")).otherwise(col("tool")))
-          .select(routedCols.map(col) :+ col("tool_key"): _*)
-          .write.mode("append")
-          .partitionBy("tool_key", "role", "day")
-          .parquet(s"$outDir/routed")
+        graft.alco.Pipeline.run(spark, batch, outDir, cfg, batchId)
         (): Unit
       }
       .start()
