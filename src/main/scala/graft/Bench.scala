@@ -4,6 +4,7 @@ import java.nio.file.Files
 
 import graft.alco.{Gen, Pipeline}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, max, xxhash64}
 
 /** Benchmark main. Two measurements, one JSON line out:
   *
@@ -131,6 +132,28 @@ object Bench {
     // ratio (the advisor's alternative) is reported alongside — BOTH are
     // biased in opposite directions when waves are shorter than a leg, so
     // publishing the pair list keeps the measurement honest.
+    // Contemporaneous host ceiling: a purely CPU-bound, shuffle-free,
+    // IO-free hash reduction at the same two levels, in the same noise
+    // window. The ceiling itself drifts with host load (measured 0.83–0.95
+    // for 1→4 threads across windows on this microVM), so the pipeline's
+    // efficiency is reported raw AND normalized by what the host could do
+    // for ANY perfectly parallel job at that moment.
+    def cpuLeg(ncpu: Int): Double = {
+      val s = session(ncpu)
+      s.sparkContext.setLogLevel("WARN")
+      val sec = timed {
+        s.range(0, 1200000000L, 1, ncpu * 4)
+          .select(max(xxhash64(col("id"), col("id") + 3, col("id") + 7)))
+          .collect()
+      }
+      s.stop()
+      sec
+    }
+    val ceiling = {
+      val c1 = cpuLeg(nLow); val c4 = cpuLeg(nHigh)
+      math.min((c1 / c4) / 4.0, 1.0)
+    }
+
     val pairEffs = pairs.map { case (lo, hi) => math.min((lo / hi) / 4.0, 1.0) }
       .sorted
     val medianPairEff =
@@ -144,7 +167,7 @@ object Bench {
     val total = qTimes.map(_._2).sum
     val pairsJson = pairEffs.map(e => f"$e%.3f").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"pipeline_turns_per_sec","value":$tps32%.0f,"unit":"turns/sec","queries":$qs,"sf":"$sfDir","queries_total_sec":$total%.3f,"pipeline":{"rows":$pipelineRows,"n_executors":$nLow,"n4_executors":$nHigh,"sec_localN":$sec8%.2f,"sec_local4N":$sec32%.2f,"tps_localN":$tps8%.0f,"tps_local4N":$tps32%.0f,"pair_efficiencies":$pairsJson,"min_ratio_efficiency":$minRatioEff%.3f,"scaling_efficiency":$eff%.3f}}"""
+      f"""{"metric":"pipeline_turns_per_sec","value":$tps32%.0f,"unit":"turns/sec","queries":$qs,"sf":"$sfDir","queries_total_sec":$total%.3f,"pipeline":{"rows":$pipelineRows,"n_executors":$nLow,"n4_executors":$nHigh,"sec_localN":$sec8%.2f,"sec_local4N":$sec32%.2f,"tps_localN":$tps8%.0f,"tps_local4N":$tps32%.0f,"pair_efficiencies":$pairsJson,"min_ratio_efficiency":$minRatioEff%.3f,"cpu_ceiling_efficiency":$ceiling%.3f,"ceiling_normalized_efficiency":${math.min(eff / ceiling, 1.0)}%.3f,"scaling_efficiency":$eff%.3f}}"""
     println(json)
     // stdout gets buried in sbt [info]/log noise — persist the line so the
     // bench signal can't silently vanish (round-1 BENCH had parsed:null).

@@ -335,6 +335,16 @@ object SparkEntry {
         .except(e.filter(col("value") > 90.0).select(col("event_id")))
     }),
 
+    // ── similarity: IVF-bucketed ANN (deterministic k-means index; scale
+    // path complement to the LSH variant — rows-only, recall vs brute
+    // force proven in OpsSpec) ──
+    "q42_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), 5,
+        nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
     // ── O14: full-text NOT (Sphinx MATCH('table -vector -spark')) ──
     "q41_match_not" -> ((s, dir) =>
       t(s, dir, "documents")

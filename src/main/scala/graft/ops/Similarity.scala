@@ -100,6 +100,95 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Deterministic IVF (inverted-file) index: k-means cluster ids per corpus
+    * row, trained with a fixed number of Lloyd iterations entirely as
+    * DataFrame aggregations — no RNG state (seeds are the hash-min rows),
+    * no MLlib. Per iteration: one corpus scan for assignment + one
+    * elementwise-mean aggregation whose output is k×dim rows (collected —
+    * bounded by the index config, never by corpus size). At 100 TB the
+    * index build is a one-off amortized scan, exactly like production IVF.
+    */
+  def ivfAssign(corpus: DataFrame, nlist: Int, iters: Int = 3,
+                idCol: String = "vec_id", vecCol: String = "embedding"):
+      (DataFrame, Seq[Array[Double]]) = {
+    val v = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    // deterministic seeds: the nlist rows with the smallest id hash
+    var centroids: Seq[Array[Double]] = v
+      .orderBy(xxhash64(col("id")), col("id")).limit(nlist)
+      .collect().map(_.getSeq[Double](1).toArray).toSeq
+    (1 to iters).foreach { _ =>
+      val assigned = v.withColumn("cluster", nearestCentroid(col("v"), centroids))
+      val means = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      val byCluster = means.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { c =>
+        byCluster.get(c)
+          .map(rs => rs.sortBy(_.getInt(1)).map(_.getDouble(2)))
+          .getOrElse(centroids(c)) // empty cluster keeps its centroid
+      }
+    }
+    (v.withColumn("cluster", nearestCentroid(col("v"), centroids)), centroids)
+  }
+
+  /** argmin over centroids of squared L2 distance — a pure codegen-friendly
+    * fold over literal centroid arrays.
+    */
+  private def nearestCentroid(vec: Column, centroids: Seq[Array[Double]]): Column = {
+    val dists = centroids.map { c =>
+      val cl = array(c.map(lit): _*)
+      aggregate(zip_with(vec, cl, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, d) => acc + d)
+    }
+    dists.zipWithIndex.tail.foldLeft((dists.head, lit(0))) {
+      case ((bestD, bestI), (d, i)) =>
+        (when(d < bestD, d).otherwise(bestD),
+          when(d < bestD, lit(i)).otherwise(bestI))
+    }._2.as("cluster")
+  }
+
+  /** ANN top-k over the IVF index: each query probes its `nprobe` nearest
+    * centroid lists and ranks exact cosine inside them (TopKRows — no
+    * Window). Scan cost per query ≈ nprobe/nlist of the corpus; the
+    * assignment can be precomputed/persisted like any IVF deployment.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int = 16,
+              nprobe: Int = 4, iters: Int = 3,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (assigned, centroids) = ivfAssign(corpus, nlist, iters, idCol, vecCol)
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    // per-query probe list: nprobe nearest centroids (tiny driver-free expr)
+    val qProbed = q.withColumn("cluster",
+      explode(nearestCentroids(col("qv"), centroids, nprobe)))
+    val scored = assigned.select(col("id").as("neighbor_id"), col("v").as("cv"),
+        col("cluster"))
+      .join(broadcast(qProbed), Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    rankTopK(scored, k)
+  }
+
+  /** The nprobe nearest centroid indices as an array column (sorted by
+    * distance): comparisons happen over literal centroids, so this is one
+    * projection, no shuffle.
+    */
+  private def nearestCentroids(vec: Column, centroids: Seq[Array[Double]],
+                               nprobe: Int): Column = {
+    val pairs = centroids.zipWithIndex.map { case (c, i) =>
+      val cl = array(c.map(lit): _*)
+      struct(
+        aggregate(zip_with(vec, cl, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, d) => acc + d).as("d"),
+        lit(i).as("i"))
+    }
+    slice(transform(array_sort(array(pairs: _*)), p => p.getField("i")),
+      1, nprobe)
+  }
+
   /** Embedding-cosine near-duplicate pairs (cos >= threshold), LSH-bucketed
     * so only same-bucket pairs are compared.
     */

@@ -118,6 +118,26 @@ class OpsSpec extends SparkSpec {
     assert(lshPairs.subsetOf(exactPairs))
   }
 
+  test("IVF topk: deterministic index, decent recall, subset soundness") {
+    val vecs = (0 until 300).map { i =>
+      (i.toLong, (0 until 16).map(d => math.sin(i * 0.37 + d * 1.13).toFloat).toArray)
+    }.toDF("vec_id", "embedding").cache()
+    val queries = vecs.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(vecs, queries, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf1 = Similarity.ivfTopK(vecs, queries, 10, nlist = 8, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf2 = Similarity.ivfTopK(vecs, queries, 10, nlist = 8, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf1 == ivf2, "IVF must be deterministic across runs")
+    val recall = exact.intersect(ivf1).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ivf recall $recall")
+    // full probe (nprobe = nlist) degenerates to exact brute force
+    val full = Similarity.ivfTopK(vecs, queries, 10, nlist = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact, "probing every list must equal brute force")
+  }
+
   test("language id picks the language with most stopword hits") {
     val df = Seq(
       (1L, "the cat and the dog is in the house"),
