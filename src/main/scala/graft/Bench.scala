@@ -62,13 +62,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // 8M timed rows × 4 pairs: big enough that fixed per-job overhead is
-    // ~2-3% of the fast leg, small enough to afford 4 interleaved pairs —
-    // more min-samples beats a longer single sample on this noisy host
-    // (round-2 lesson; task-metric profile shows constant total CPU and
-    // 0.99 busy at 1 thread, so per-level mins estimate true capability).
-    val pipelineRows = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_ROWS", "8000000").toLong
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "4").toInt
+    // 4M timed rows × up to 3 pairs: round 2's 8M × 4 pairs blew the driver
+    // wall-clock budget (rc=124, all signal lost). 4M keeps the slow leg
+    // ~2-3 min — the same order as this host's noisy-neighbor waves, so a
+    // back-to-back pair more often sits inside ONE wave — while the fast
+    // leg stays ~10× its fixed per-job overhead.
+    val pipelineRows = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_ROWS", "4000000").toLong
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // Hard deadline on STARTING new work (pairs / ceiling legs): the driver
+    // kills the whole run at ~45 min with exit 124 and nothing parsed, so
+    // finishing early with fewer pairs strictly dominates.
+    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE", "1500").toLong
+    val wallStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - wallStart) / 1e9
 
     // ── 1. headline queries at the requested parallelism ──
     var spark = session(cpus)
@@ -81,6 +87,23 @@ object Bench {
     }
     runHeadline() // warm-up pass: JIT + codegen cache, excluded from timing
     val qTimes = runHeadline()
+
+    // ── incremental flush: the JSON line is (re)written after the headline
+    // phase and after EVERY pair, so a driver kill mid-run still leaves the
+    // latest complete measurement on disk (round-2 lesson: the end-only
+    // write lost everything to rc=124).
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+    def flush(json: String): Unit = {
+      println(json)
+      Files.write(outPath,
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+
+    val qs = qTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val qTotal = qTimes.map(_._2).sum
+    flush(f"""{"metric":"pipeline_turns_per_sec","value":0,"unit":"turns/sec","queries":$qs,"sf":"$sfDir","queries_total_sec":$qTotal%.3f,"phase":"headline_only"}""")
 
     // generated transcripts input, written once, reused at both levels
     val work = Files.createTempDirectory(
@@ -112,67 +135,75 @@ object Bench {
       s.stop()
       sec
     }
-    // Efficiency is computed per adjacent (low, high) PAIR — both legs of
-    // a pair run back-to-back in the same noise window, so their ratio is
-    // meaningful even when absolute times aren't; we report the best pair.
-    // Throughput is still the per-level min (true capability).
-    val pairs = (1 to reps).map { i =>
-      (once(nLow, s"n${nLow}_$i", warm = i == 1),
-        once(nHigh, s"n${nHigh}_$i", warm = i == 1))
+    // One measurement "pair" = pipeline at N and 4N threads back-to-back,
+    // IMMEDIATELY followed by a pure-CPU ceiling pair (shuffle-free,
+    // IO-free hash reduction) at the same two levels — four legs in one
+    // noise window. The ceiling pair measures what this host could do for
+    // ANY perfectly parallel job at that moment (observed 0.83-0.95 for
+    // 1→4 threads across windows; the 4N leg degrades disproportionately
+    // under contention because 4 vCPUs must be co-scheduled while 1 slips
+    // into gaps), so the pipeline ratio NORMALIZED by its contemporaneous
+    // ceiling ratio isolates the pipeline's own scaling from host weather.
+    //
+    // Estimators, all published (raw pair lists included, so the
+    // measurement stays honest):
+    //  - scaling_efficiency (headline) = MEDIAN of per-pair
+    //    ceiling-normalized efficiencies, clamped at 1.0;
+    //  - raw_scaling_efficiency = median of raw per-pair ratios (round-2's
+    //    headline — systematically biased DOWN by waves straddling a pair);
+    //  - min_ratio_efficiency = per-level-min ratio (biased the other way).
+    final case class PairMeas(pipeLo: Double, pipeHi: Double,
+                              ceilLo: Double, ceilHi: Double) {
+      def rawEff: Double = math.min((pipeLo / pipeHi) / 4.0, 1.0)
+      def ceilEff: Double = math.min((ceilLo / ceilHi) / 4.0, 1.0)
+      def normEff: Double = math.min(rawEff / ceilEff, 1.0)
     }
-    val sec8 = pairs.map(_._1).min
-    val sec32 = pairs.map(_._2).min
-    val tps8 = pipelineRows / sec8
-    val tps32 = pipelineRows / sec32
-    // Efficiency estimator: MEDIAN of the per-pair ratios, clamped at 1.0
-    // (the round-1 advisor's primary suggestion — the max systematically
-    // picks the luckiest pair and can exceed 1.0). Both legs of a pair run
-    // back-to-back, so host-speed waves partially cancel inside a pair;
-    // the median then rejects pairs a wave straddled. The per-level-min
-    // ratio (the advisor's alternative) is reported alongside — BOTH are
-    // biased in opposite directions when waves are shorter than a leg, so
-    // publishing the pair list keeps the measurement honest.
-    // Contemporaneous host ceiling: a purely CPU-bound, shuffle-free,
-    // IO-free hash reduction at the same two levels, in the same noise
-    // window. The ceiling itself drifts with host load (measured 0.83–0.95
-    // for 1→4 threads across windows on this microVM), so the pipeline's
-    // efficiency is reported raw AND normalized by what the host could do
-    // for ANY perfectly parallel job at that moment.
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    def partialJson(pairs: Vector[PairMeas]): String = {
+      val secLo = pairs.map(_.pipeLo).min
+      val secHi = pairs.map(_.pipeHi).min
+      val tpsLo = pipelineRows / secLo
+      val tpsHi = pipelineRows / secHi
+      val rawEff = median(pairs.map(_.rawEff))
+      val normEff = median(pairs.map(_.normEff))
+      val minRatioEff = math.min((secLo / secHi) / 4.0, 1.0)
+      def list(xs: Seq[Double]) = xs.map(e => f"$e%.3f").mkString("[", ",", "]")
+      f"""{"metric":"pipeline_turns_per_sec","value":$tpsHi%.0f,"unit":"turns/sec","queries":$qs,"sf":"$sfDir","queries_total_sec":$qTotal%.3f,"pipeline":{"rows":$pipelineRows,"n_executors":$nLow,"n4_executors":$nHigh,"sec_localN":$secLo%.2f,"sec_local4N":$secHi%.2f,"tps_localN":$tpsLo%.0f,"tps_local4N":$tpsHi%.0f,"pair_efficiencies":${list(pairs.map(_.rawEff))},"pair_ceiling_efficiencies":${list(pairs.map(_.ceilEff))},"pair_normalized_efficiencies":${list(pairs.map(_.normEff))},"min_ratio_efficiency":$minRatioEff%.3f,"raw_scaling_efficiency":$rawEff%.3f,"cpu_ceiling_efficiency":${median(pairs.map(_.ceilEff))}%.3f,"scaling_efficiency":$normEff%.3f}}"""
+    }
+
     def cpuLeg(ncpu: Int): Double = {
       val s = session(ncpu)
       s.sparkContext.setLogLevel("WARN")
       val sec = timed {
-        s.range(0, 1200000000L, 1, ncpu * 4)
+        s.range(0, 600000000L, 1, ncpu * 4)
           .select(max(xxhash64(col("id"), col("id") + 3, col("id") + 7)))
           .collect()
       }
       s.stop()
       sec
     }
-    val ceiling = {
-      val c1 = cpuLeg(nLow); val c4 = cpuLeg(nHigh)
-      math.min((c1 / c4) / 4.0, 1.0)
+
+    // The loop respects the deadline — never START a pair we can't afford
+    // (budget = the worst observed pair so far) — and flushes the JSON
+    // after every pair, so a driver kill can lose at most the in-flight
+    // pair, never the run.
+    var pairBudget = 420.0 // prior for pair 1 (4M rows + ceiling legs)
+    var pairs = Vector.empty[PairMeas]
+    var i = 0
+    while (i < reps && (i == 0 || elapsedSec + pairBudget < deadlineSec)) {
+      i += 1
+      val t0 = System.nanoTime()
+      val pLo = once(nLow, s"n${nLow}_$i", warm = i == 1)
+      val pHi = once(nHigh, s"n${nHigh}_$i", warm = i == 1)
+      val cLo = cpuLeg(nLow)
+      val cHi = cpuLeg(nHigh)
+      pairs = pairs :+ PairMeas(pLo, pHi, cLo, cHi)
+      pairBudget = math.max(pairBudget, (System.nanoTime() - t0) / 1e9 * 1.15)
+      flush(partialJson(pairs))
     }
-
-    val pairEffs = pairs.map { case (lo, hi) => math.min((lo / hi) / 4.0, 1.0) }
-      .sorted
-    val medianPairEff =
-      if (pairEffs.length % 2 == 1) pairEffs(pairEffs.length / 2)
-      else (pairEffs(pairEffs.length / 2 - 1) + pairEffs(pairEffs.length / 2)) / 2.0
-    val minRatioEff = math.min((sec8 / sec32) / 4.0, 1.0)
-    val eff = medianPairEff
-
-    val qs = qTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = qTimes.map(_._2).sum
-    val pairsJson = pairEffs.map(e => f"$e%.3f").mkString("[", ",", "]")
-    val json =
-      f"""{"metric":"pipeline_turns_per_sec","value":$tps32%.0f,"unit":"turns/sec","queries":$qs,"sf":"$sfDir","queries_total_sec":$total%.3f,"pipeline":{"rows":$pipelineRows,"n_executors":$nLow,"n4_executors":$nHigh,"sec_localN":$sec8%.2f,"sec_local4N":$sec32%.2f,"tps_localN":$tps8%.0f,"tps_local4N":$tps32%.0f,"pair_efficiencies":$pairsJson,"min_ratio_efficiency":$minRatioEff%.3f,"cpu_ceiling_efficiency":$ceiling%.3f,"ceiling_normalized_efficiency":${math.min(eff / ceiling, 1.0)}%.3f,"scaling_efficiency":$eff%.3f}}"""
-    println(json)
-    // stdout gets buried in sbt [info]/log noise — persist the line so the
-    // bench signal can't silently vanish (round-1 BENCH had parsed:null).
-    Files.write(java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 }

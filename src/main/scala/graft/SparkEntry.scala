@@ -318,9 +318,10 @@ object SparkEntry {
         .groupBy(col("kind"), col("ok"))
         .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("bytes"))),
 
-    // ── embedding near-dup pairs, LSH-bucketed (rows-only) ──
+    // ── embedding near-dup pairs, LSH-bucketed; plane count scales with
+    // the corpus (rows-only) ──
     "q38_cos_neardup" -> ((s, dir) =>
-      Similarity.cosineNearDups(t(s, dir, "embeddings"), threshold = 0.2, planes = 4)
+      Similarity.cosineNearDupsAuto(t(s, dir, "embeddings"), threshold = 0.2)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))),
 
     // ── O23: match-count (alco total_found) ──
@@ -350,6 +351,13 @@ object SparkEntry {
       t(s, dir, "documents")
         .filter(Grep.matchPredicate(Seq("table"), Grep.MatchAll) &&
           !Grep.matchPredicate(Seq("vector", "spark"), Grep.MatchAny))
+        .select(col("doc_id"))),
+
+    // ── O14: Sphinx "phrase" match — consecutive TOKENS, not a raw
+    // substring ("spark table" ≠ "sparky tables") ──
+    "q43_match_phrase" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(Grep.matchPredicate(Seq("spark", "table"), Grep.MatchPhrase))
         .select(col("doc_id")))
   )
 
@@ -368,10 +376,12 @@ object SparkEntry {
   private def duckDay(ts: String) =
     s"strftime(make_timestamp(CAST(floor(epoch($ts)) AS BIGINT) * 1000000), '%Y-%m-%d')"
   // Parse.classify precedence: P1, else P2, else P3 for non-structured
-  // non-empty text; anything else quarantines.
+  // non-empty SINGLE-LINE text; anything else quarantines. The single-line
+  // term mirrors classify's explicit `contains \n` rule exactly (regex `$`
+  // semantics differ between Java and RE2, so neither side uses one).
   private def duckOk =
     s"(regexp_matches(text, '${Parse.P1.regex}') OR regexp_matches(text, '${Parse.P2.regex}') OR " +
-      "(NOT (starts_with(text, 'CALL') OR starts_with(text, 'RESULT')) AND length(text) > 0))"
+      "(NOT (starts_with(text, 'CALL') OR starts_with(text, 'RESULT')) AND length(text) > 0 AND NOT contains(text, chr(10))))"
 
   /** DuckDB oracles: bare table names resolve against the same sfDir;
     * `__GRAFT_OUT__` paths resolve against Verify's dump dir. Omitted keys
@@ -451,6 +461,8 @@ object SparkEntry {
     "q40_except" ->
       "SELECT event_id FROM events WHERE event_type = 'click' EXCEPT SELECT event_id FROM events WHERE value > 90.0",
     "q41_match_not" ->
-      """SELECT doc_id FROM documents WHERE regexp_matches(lower(text), '\btable\b') AND NOT regexp_matches(lower(text), '\b(vector|spark)\b')"""
+      """SELECT doc_id FROM documents WHERE regexp_matches(lower(text), '\btable\b') AND NOT regexp_matches(lower(text), '\b(vector|spark)\b')""",
+    "q43_match_phrase" ->
+      """SELECT doc_id FROM documents WHERE regexp_matches(lower(text), '\bspark\W+table\b')"""
   )
 }

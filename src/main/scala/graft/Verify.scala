@@ -2,7 +2,16 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Crash-isolation (round-2 postmortem: one pathological query zeroed all
+  * 42 correctness signals):
+  *  - oracle_sql.json is written BEFORE the query loop, so it exists even
+  *    if a later query hangs or kills the JVM;
+  *  - every query dump runs in its own watchdog'd thread with a per-query
+  *    wall-clock budget; on timeout its Spark job group is cancelled and
+  *    the loop moves on — a single bad query costs one row, not the round.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -15,18 +24,8 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // The deterministic transcripts table the generator-based queries
-    // (q33-q36) run over — dumped so their DuckDB oracles can read the SAME
-    // input via the __GRAFT_OUT__ substitution below.
-    graft.alco.Gen.turns(spark, 20000L).toDF().coalesce(1)
-      .write.mode("overwrite").parquet(s"$outDir/transcripts_input")
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
+
+    // ── oracle_sql.json FIRST (see scaladoc) ──
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -44,6 +43,40 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("__GRAFT_OUT__", outAbs))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    // The deterministic transcripts table the generator-based queries
+    // (q33-q36) run over — dumped so their DuckDB oracles can read the SAME
+    // input via the __GRAFT_OUT__ substitution above.
+    graft.alco.Gen.turns(spark, 20000L).toDF().coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/transcripts_input")
+
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT", "240").toLong
+    SparkEntry.queries.foreach { case (name, fn) =>
+      @volatile var err: Option[Throwable] = None
+      val worker = new Thread(() =>
+        try {
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        } catch { case e: Throwable => err = Some(e) }
+        finally spark.sparkContext.clearJobGroup(),
+        s"verify-$name")
+      worker.setDaemon(true) // an un-interruptible hang must not block exit
+      val t0 = System.nanoTime()
+      worker.start()
+      worker.join(budgetSec * 1000)
+      if (worker.isAlive) {
+        spark.sparkContext.cancelJobGroup(name)
+        worker.interrupt()
+        worker.join(10000) // brief grace for the cancel to unwind
+        System.err.println(s"[verify] $name TIMED OUT after ${budgetSec}s — skipped")
+      } else err match {
+        case Some(e) => System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        case None =>
+          val sec = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[verify] $name ok ($sec%.1f s)")
+      }
+    }
     spark.stop()
   }
 }

@@ -49,7 +49,12 @@ object Grep {
         lowered.map(t => array_contains(tokens(col("text")), t))
           .reduce(_ && _)
       case MatchPhrase =>
-        lower(col("text")).contains(lowered.mkString(" "))
+        // Sphinx "phrase": the terms occur as consecutive TOKENS, not as a
+        // raw substring — "retry logic" must not match "retry logical…".
+        // Token boundaries = \b, token separators = any non-word run.
+        val pat = lowered.map(java.util.regex.Pattern.quote)
+          .mkString("\\b", "\\W+", "\\b")
+        lower(col("text")).rlike(pat)
     }
   }
 
@@ -111,12 +116,20 @@ object Grep {
     ordered(base.filter(predicates(q)), q)
   }
 
+  // Newest-first; seq is the fast primary tiebreak but is only guaranteed
+  // unique WITHIN a conversation (Route.seqCol packs a 32-bit conv hash, so
+  // cross-conversation collisions are expected past ~77k conversations) —
+  // the explicit (conv_id, turn_idx) tail makes the order total at any
+  // scale (ADVICE r2).
+  private val orderKeys =
+    Seq(col("ts").desc, col("seq").desc, col("conv_id"), col("turn_idx"))
+
   private def ordered(base: DataFrame, q: Query): DataFrame = {
     val limited =
-      if (q.offset == 0) base.orderBy(col("ts").desc, col("seq").desc).limit(q.limit)
+      if (q.offset == 0) base.orderBy(orderKeys: _*).limit(q.limit)
       else {
-        val w = Window.orderBy(col("ts").desc, col("seq").desc)
-        base.orderBy(col("ts").desc, col("seq").desc).limit(q.offset + q.limit)
+        val w = Window.orderBy(orderKeys: _*)
+        base.orderBy(orderKeys: _*).limit(q.offset + q.limit)
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") > q.offset)
           .drop("__rn")

@@ -43,15 +43,25 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 object Manifest {
 
   final case class PartitionStat(partition: String, rowCount: Long)
+  /** `committedBatchKeys` entries are "writerId#batchId" — idempotency is
+    * scoped by writer identity (a streaming query's checkpoint, a named
+    * backfill job), exactly like Spark's own streaming sink commit logs:
+    * a NEW writer restarting its batch numbering at 0 against an existing
+    * table must not be silently discarded as "already committed" (ADVICE
+    * r2, medium).
+    */
   final case class Snapshot(
       snapshotId: Long,
       parentId: Long,
       batchId: Long,
-      committedBatchIds: Seq[Long],
+      committedBatchKeys: Seq[String],
       committedPartitions: Seq[String],
       stats: Seq[PartitionStat],
       files: Seq[String],
       wallMs: Long)
+
+  /** The scoped idempotency key for (writerId, batchId). */
+  def batchKey(writerId: String, batchId: Long): String = s"$writerId#$batchId"
 
   private val mapper = new ObjectMapper()
 
@@ -73,8 +83,8 @@ object Manifest {
   def committedPartitions(tableRoot: String): Set[String] =
     latest(tableRoot).map(_.committedPartitions.toSet).getOrElse(Set.empty)
 
-  def committedBatchIds(tableRoot: String): Set[Long] =
-    latest(tableRoot).map(_.committedBatchIds.toSet).getOrElse(Set.empty)
+  def committedBatchKeys(tableRoot: String): Set[String] =
+    latest(tableRoot).map(_.committedBatchKeys.toSet).getOrElse(Set.empty)
 
   /** The exact committed data-file set (paths relative to the table root). */
   def committedFiles(tableRoot: String): Set[String] =
@@ -101,14 +111,16 @@ object Manifest {
     *                 swaps in merge outputs for rewritten ones)
     */
   def commit(tableRoot: String, batchId: Long, newStats: Seq[PartitionStat],
-             files: Seq[String], wallMs: Long): Snapshot = {
+             files: Seq[String], wallMs: Long,
+             writerId: String = ""): Snapshot = {
     val parent = latest(tableRoot)
     val id = parent.map(_.snapshotId + 1).getOrElse(0L)
     val committed =
       (parent.map(_.committedPartitions).getOrElse(Seq.empty) ++
         newStats.map(_.partition)).distinct
     val batches =
-      (parent.map(_.committedBatchIds).getOrElse(Seq.empty) :+ batchId).distinct
+      (parent.map(_.committedBatchKeys).getOrElse(Seq.empty) :+
+        batchKey(writerId, batchId)).distinct
     val snap = Snapshot(id, parent.map(_.snapshotId).getOrElse(-1L), batchId,
       batches, committed, newStats, files.distinct.sorted, wallMs)
     write(tableRoot, snap)
@@ -126,7 +138,7 @@ object Manifest {
     val keptFiles = parent.map(_.files.filter(f =>
       keep.exists(p => f.startsWith(p + "/")))).getOrElse(Nil)
     val snap = Snapshot(id, parent.map(_.snapshotId).getOrElse(-1L), batchId,
-      parent.map(_.committedBatchIds).getOrElse(Nil),
+      parent.map(_.committedBatchKeys).getOrElse(Nil),
       keep,
       parent.map(_.stats.filter(st => keep.contains(st.partition)))
         .getOrElse(Nil),
@@ -151,8 +163,8 @@ object Manifest {
     root.put("parent_id", s.parentId)
     root.put("batch_id", s.batchId)
     root.put("wall_ms", s.wallMs)
-    val batches = root.putArray("committed_batch_ids")
-    s.committedBatchIds.foreach(batches.add)
+    val batches = root.putArray("committed_batch_keys")
+    s.committedBatchKeys.foreach(batches.add)
     val parts = root.putArray("committed_partitions")
     s.committedPartitions.foreach(parts.add)
     val stats = root.putArray("stats")
@@ -175,7 +187,7 @@ object Manifest {
       root.get("snapshot_id").asLong(),
       root.get("parent_id").asLong(),
       root.get("batch_id").asLong(),
-      arr("committed_batch_ids").map(_.asLong()),
+      arr("committed_batch_keys").map(_.asText()),
       arr("committed_partitions").map(_.asText()),
       arr("stats").map(n => PartitionStat(
         n.get("partition").asText(), n.get("row_count").asLong())),

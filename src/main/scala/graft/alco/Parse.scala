@@ -65,10 +65,15 @@ object Parse {
   def classify(df: DataFrame): DataFrame = {
     val t = col("text")
     val looksStructured = t.startsWith("CALL") || t.startsWith("RESULT")
+    // P3 acceptance is an EXPLICIT rule, not a regex: non-structured,
+    // non-empty, single-line. Java's `$` matches before a trailing newline
+    // while RE2's does not, so `rlike(P3.regex)` could never be mirrored
+    // exactly by a DuckDB oracle — `contains \n` is engine-neutral and is
+    // restated verbatim in SparkEntry.duckOk (ADVICE r2).
     df.withColumn("pattern_id",
       when(t.rlike(P1.regex), lit(1))
         .when(t.rlike(P2.regex), lit(2))
-        .when(!looksStructured && t.rlike(P3.regex) && length(t) > 0, lit(3))
+        .when(!looksStructured && length(t) > 0 && !t.contains("\n"), lit(3))
         .otherwise(lit(0)))
   }
 

@@ -108,8 +108,15 @@ object Pipeline {
       s"tool_key=${SinkKey.sanitize(tool)}/role=$role/day=$day"
   }
 
+  /** @param writerId scopes batch-level idempotency (manifest batch keys are
+    *                  "writerId#batchId"): two writers — e.g. a restarted
+    *                  streaming query with a fresh checkpoint, or a named
+    *                  backfill — can reuse batch numbering against the same
+    *                  table without one's batches masking the other's.
+    */
   def run(spark: SparkSession, turns: DataFrame, outRoot: String,
-          cfg: Config = Config(), batchId: Long = 0L): Result = {
+          cfg: Config = Config(), batchId: Long = 0L,
+          writerId: String = ""): Result = {
     val t0 = System.nanoTime()
     def ms(since: Long): Long = (System.nanoTime() - since) / 1000000L
     // day-partition keys, 1-day rollup windows and manifest stat days must
@@ -120,9 +127,10 @@ object Pipeline {
     val routedPath = s"$outRoot/routed"
     val prior = Manifest.latest(routedPath)
 
-    // Idempotent rerun: this batch already committed → no-op before any job
-    // (alco's REPLACE-INTO redelivery idempotency, at batch granularity).
-    if (prior.exists(_.committedBatchIds.contains(batchId)))
+    // Idempotent rerun: this writer's batch already committed → no-op before
+    // any job (alco's REPLACE-INTO redelivery idempotency, at batch
+    // granularity, scoped by writer identity).
+    if (prior.exists(_.committedBatchKeys.contains(Manifest.batchKey(writerId, batchId))))
       return Result(batchId, prior.get.snapshotId, 0L, 0L, 0L,
         skippedCommitted = prior.get.committedPartitions.size.toLong,
         mergedPartitions = 0L, stageTimings = Map("total_ms" -> ms(t0)))
@@ -149,8 +157,12 @@ object Pipeline {
     // Directory partitioning cannot represent the empty-string tool (it
     // round-trips as null), so the partition key is a sanitized `tool_key`
     // while `tool` stays a data column — alco's LoggerIndex-name analog.
+    // NULL maps with empty (SinkKey.sanitize semantics): a null tool
+    // otherwise partitions to __HIVE_DEFAULT_PARTITION__ while the manifest
+    // keys say _none, and orphan cleanup would delete its committed files.
     val keyed = routed0.withColumn("tool_key",
-      when(col("tool") === "", lit("_none")).otherwise(col("tool")))
+      when(col("tool").isNull || col("tool") === "", lit("_none"))
+        .otherwise(col("tool")))
 
     // Rollup counts + distinct sets + lineage ride the write: one KeyedRollup
     // metric keyed by (tool, role, UTC day) with the filtered columns' values
@@ -161,7 +173,10 @@ object Pipeline {
     // concat/date_trunc/cast work runs codegen'd inside the projection; the
     // accumulator's per-row interpreted eval then only reads two attributes.
     // The drop() after observe keeps them out of the written files.
-    val statsKey = concat_ws(KeySep, col("tool"), col("role"),
+    // coalesce: concat_ws SKIPS nulls, which would silently drop a field
+    // from the key and crash the 3-way split at parse-back time.
+    val statsKey = concat_ws(KeySep, coalesce(col("tool"), lit("")),
+      coalesce(col("role"), lit("")),
       unix_timestamp(date_trunc("DAY", col("ts"))).cast("string"))
     val distinctArr = array(distinctCols.map(c => col(c).cast("string")): _*)
 
@@ -195,6 +210,20 @@ object Pipeline {
         Contrib(tool, role, sec.toLong, e.n, e.sets)
       })
       .getOrElse(Seq.empty)
+
+    // Committed-file derivation depends entirely on the write-pass metric.
+    // If the write produced files but the metric channel came back empty
+    // (a lost/unparsable observation), committing would name NONE of the
+    // just-written files and the next run's orphan cleanup would silently
+    // delete the batch's data. Failing here is safe: nothing is committed
+    // yet, so the written files are orphans a rerun cleans and re-processes
+    // (exactly-once preserved). (ADVICE r2, medium.)
+    if (contribs.isEmpty &&
+        listPartitionFiles(spark, routedPath).exists(!committedFileSet.contains(_)))
+      throw new IllegalStateException(
+        s"batch $batchId: write produced data files but the rollup " +
+          "observation is empty — aborting before commit to avoid orphaning " +
+          "the batch's data")
 
     // REPLACE across batches: rewrite partitions that already had committed
     // rows (bounded to the overlap — zero extra work on the fresh path).
@@ -237,7 +266,7 @@ object Pipeline {
     // files are orphans, cleaned next run. Crash after → batch is committed,
     // rerun short-circuits on batchId.
     val snap = Manifest.commit(routedPath, batchId, stats,
-      carried ++ newFiles, ms(t0))
+      carried ++ newFiles, ms(t0), writerId)
 
     // Vacuum superseded files of merged partitions (post-commit; a crash
     // here just leaves orphans for the next run's cleanup).
@@ -345,6 +374,22 @@ object Pipeline {
       .filterNot(n => n.startsWith(".") || n.startsWith("_"))
   }
 
+  /** All data files in partition dirs, as paths relative to `root`
+    * (driver-side metadata, O(#files)).
+    */
+  private def listPartitionFiles(spark: SparkSession, root: String): Seq[String] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return Seq.empty
+    val glob = new org.apache.hadoop.fs.Path(root, "tool_key=*/role=*/day=*/*")
+    Option(fs.globStatus(glob)).getOrElse(Array.empty).toSeq
+      .filter(_.isFile)
+      .map(_.getPath)
+      .filter(f => !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      .map(f => s"${f.getParent.getParent.getParent.getName}/" +
+        s"${f.getParent.getParent.getName}/${f.getParent.getName}/${f.getName}")
+  }
+
   /** Delete every data file under the table that the committed snapshot does
     * not name (plus writer staging leftovers). O(#files) driver-side
     * metadata work — the same scale Iceberg's orphan-file cleanup pays.
@@ -355,18 +400,8 @@ object Pipeline {
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(rootPath)) return
     fs.delete(new org.apache.hadoop.fs.Path(root, "_temporary"), true)
-    val glob = new org.apache.hadoop.fs.Path(root, "tool_key=*/role=*/day=*/*")
-    Option(fs.globStatus(glob)).getOrElse(Array.empty)
-      .filter(_.isFile)
-      .foreach { st =>
-        val f = st.getPath
-        val rel = s"${f.getParent.getParent.getParent.getName}/" +
-          s"${f.getParent.getParent.getName}/${f.getParent.getName}/${f.getName}"
-        val name = f.getName
-        if (!name.startsWith(".") && !name.startsWith("_") &&
-            !committed.contains(rel)) {
-          fs.delete(f, false)
-        }
-      }
+    listPartitionFiles(spark, root)
+      .filterNot(committed.contains)
+      .foreach(rel => fs.delete(new org.apache.hadoop.fs.Path(root, rel), false))
   }
 }

@@ -33,6 +33,12 @@ object Route {
     * turn_idx even for hot conversations with billions of turns. (A 21-bit
     * field + bitwiseOR overflowed at 2^21 ≈ 2M turns — the design target
     * explicitly includes conversations past that.)
+    *
+    * ACROSS conversations seq is NOT unique — the 32-bit conv-hash field
+    * collides from ~77k conversations (birthday bound). Every consumer that
+    * needs a TOTAL order therefore breaks remaining ties on the explicit
+    * (conv_id, turn_idx) columns (Grep.orderKeys); seq alone is only the
+    * fast per-conversation tiebreak, as in alco.
     */
   def seqCol = (shiftleft(xxhash64(col("conv_id")), 32) +
     col("turn_idx").cast("long")).as("seq")

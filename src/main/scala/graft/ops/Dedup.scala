@@ -142,26 +142,46 @@ object Dedup {
     * threshold > 0 permits. Shuffle volume = total postings, not |df|².
     *
     * `sampleMod` restricts the left side to ids ≡ 0 (mod sampleMod) — the
-    * same bound the brute variant uses. At web scale add a document-
-    * frequency cap on postings (drop stop-shingles) — not applied here
-    * because it would change exact results.
+    * same bound the brute variant uses.
+    *
+    * `maxDocFreq`: the 100 TB guard. A shingle appearing in d documents
+    * contributes O(d²) join rows, so one stop-shingle ("in the") present in
+    * 10⁹ docs makes the postings join quadratic regardless of bucketing.
+    * When set, postings of shingles with document frequency > maxDocFreq
+    * are DROPPED before the join. Set sizes stay exact, so the computed
+    * Jaccard only ever UNDERCOUNTS intersections: capped results are a
+    * subset of the exact results at the same threshold (proven in OpsSpec),
+    * and a pair is lost only if > (1−threshold)·|A∪B| of its overlap sits
+    * in stop-shingles. None (the default, used by the q21 oracle) keeps the
+    * join exact.
     */
   def jaccardPairsByPostings(df: DataFrame, idCol: String, textCol: String,
                              shingleN: Int = 3, threshold: Double = 0.5,
-                             sampleMod: Int = 1): DataFrame =
+                             sampleMod: Int = 1,
+                             maxDocFreq: Option[Long] = None): DataFrame =
     jaccardPairsFromSets(
       df.select(col(idCol).as("id"),
         array_distinct(shingles(tokens(col(textCol)), shingleN)).as("sh")),
-      threshold, sampleMod)
+      threshold, sampleMod, maxDocFreq)
 
   /** Postings-join Jaccard over a prepared `(id, sh: array<string> SET)`
     * frame (see jaccardPairsByPostings for the algorithm and bounds).
     */
   def jaccardPairsFromSets(sets: DataFrame, threshold: Double,
-                           sampleMod: Int = 1): DataFrame = {
+                           sampleMod: Int = 1,
+                           maxDocFreq: Option[Long] = None): DataFrame = {
     require(threshold > 0.0, "threshold must be > 0 (zero-overlap pairs are pruned)")
     val t = sets.select(col("id"), col("sh"), size(col("sh")).as("sz"))
-    val postings = t.select(col("id"), col("sz"), explode(col("sh")).as("tok"))
+    val postings0 = t.select(col("id"), col("sz"), explode(col("sh")).as("tok"))
+    val postings = maxDocFreq match {
+      case None => postings0
+      case Some(cap) =>
+        // stop-shingle list is tiny by construction (few shingles exceed the
+        // cap) → broadcast anti-join, no extra shuffle of the postings.
+        val heavy = postings0.groupBy(col("tok"))
+          .agg(count(lit(1)).as("df")).filter(col("df") > cap).select("tok")
+        postings0.join(broadcast(heavy), Seq("tok"), "left_anti")
+    }
     val left = postings.filter(pmod(col("id"), lit(sampleMod)) === 0)
       .select(col("tok"), col("id").as("id_a"), col("sz").as("sz_a"))
     val right = postings

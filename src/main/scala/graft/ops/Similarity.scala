@@ -134,21 +134,16 @@ object Similarity {
     (v.withColumn("cluster", nearestCentroid(col("v"), centroids)), centroids)
   }
 
-  /** argmin over centroids of squared L2 distance — a pure codegen-friendly
-    * fold over literal centroid arrays.
+  /** argmin over centroids of squared L2 distance. Implemented as the
+    * nprobe=1 case of `nearestCentroids`: each centroid's distance subtree
+    * appears exactly ONCE in the plan (array of (d, i) structs → array_sort
+    * → first index), so the expression is linear in nlist. A `when`-chain
+    * fold that threads the accumulated best through both branches would
+    * duplicate the accumulated tree per step — exponential in nlist — and
+    * OOMs planning at nlist = 16 (round-2 postmortem).
     */
-  private def nearestCentroid(vec: Column, centroids: Seq[Array[Double]]): Column = {
-    val dists = centroids.map { c =>
-      val cl = array(c.map(lit): _*)
-      aggregate(zip_with(vec, cl, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, d) => acc + d)
-    }
-    dists.zipWithIndex.tail.foldLeft((dists.head, lit(0))) {
-      case ((bestD, bestI), (d, i)) =>
-        (when(d < bestD, d).otherwise(bestD),
-          when(d < bestD, lit(i)).otherwise(bestI))
-    }._2.as("cluster")
-  }
+  private def nearestCentroid(vec: Column, centroids: Seq[Array[Double]]): Column =
+    element_at(nearestCentroids(vec, centroids, 1), 1).as("cluster")
 
   /** ANN top-k over the IVF index: each query probes its `nprobe` nearest
     * centroid lists and ranks exact cosine inside them (TopKRows — no
@@ -189,8 +184,35 @@ object Similarity {
       1, nprobe)
   }
 
+  /** Plane count sized to the corpus: expected bucket ≈ n/2^planes, so
+    * planes grows with log2(n / targetBucket) and within-bucket pairwise
+    * work stays ~n·targetBucket instead of n²/2^const — a FIXED plane count
+    * under-buckets any corpus 2^planes× larger than it was tuned for.
+    * Bounds: ≥ minPlanes keeps recall behavior testable at toy sizes;
+    * ≤ 30 keeps the bucket id dense enough that multi-probe stays cheap.
+    */
+  def planesForCount(n: Long, targetBucket: Long = 256L,
+                     minPlanes: Int = 4): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt
+    math.min(30, math.max(minPlanes, needed))
+  }
+
+  /** cosineNearDups with the plane count derived from the corpus size (one
+    * cheap count job; at scale, pass a known row count to cosineNearDups
+    * with planesForCount directly).
+    */
+  def cosineNearDupsAuto(df: DataFrame, threshold: Double,
+                         targetBucket: Long = 256L,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame =
+    cosineNearDups(df, threshold, planesForCount(df.count(), targetBucket),
+      idCol, vecCol)
+
   /** Embedding-cosine near-duplicate pairs (cos >= threshold), LSH-bucketed
-    * so only same-bucket pairs are compared.
+    * so only same-bucket pairs are compared. `planes` must scale with the
+    * corpus (see planesForCount) — within-bucket work is quadratic in
+    * bucket size.
     */
   def cosineNearDups(df: DataFrame, threshold: Double, planes: Int = 6,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

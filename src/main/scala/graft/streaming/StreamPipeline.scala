@@ -43,7 +43,11 @@ object StreamPipeline {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.alco.Pipeline.run(spark, batch, outDir, cfg, batchId)
+        // writerId = the checkpoint location: stable across restarts of the
+        // SAME query lineage (replayed batchIds stay idempotent), distinct
+        // for a fresh checkpoint whose batchIds restart at 0.
+        graft.alco.Pipeline.run(spark, batch, outDir, cfg, batchId,
+          writerId = checkpoint)
         (): Unit
       }
       .start()

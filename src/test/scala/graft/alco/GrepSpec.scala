@@ -24,6 +24,18 @@ class GrepSpec extends SparkSpec {
     assert(phrase <= all)
   }
 
+  test("phrase match is token-boundary, not substring (Sphinx semantics)") {
+    val df = Seq(
+      (1L, "we added retry logic for timeouts"),
+      (2L, "the retry logical operator is unrelated"),   // prefix-extends term 2
+      (3L, "faretry logic here"),                        // prefix-extends term 1
+      (4L, "Retry   logic, with punctuation: ok"),       // case + multi-space + punct
+      (5L, "logic retry (reversed order)")).toDF("id", "text")
+    val hits = df.filter(Grep.matchPredicate(Seq("retry", "logic"), Grep.MatchPhrase))
+      .select($"id").as[Long].collect().toSet
+    assert(hits == Set(1L, 4L), s"got $hits")
+  }
+
   test("attribute IN filters + ordering + limit") {
     val q = Grep.Query(terms = Seq("retry"), filters = Map("role" -> Seq("user", "assistant")),
       limit = 10)

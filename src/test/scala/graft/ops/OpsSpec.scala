@@ -41,6 +41,55 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("doc-frequency-capped postings: capped ⊆ exact, planted dups survive") {
+    val exact = Dedup.jaccardPairsByPostings(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture must plant near-dups")
+    // cap just under the max doc frequency (this fixture's shingle df is
+    // ~12 median / 19 max): drops only the corpus's hottest shingles
+    // (the 100 TB stop-shingle guard)
+    val capped = Dedup.jaccardPairsByPostings(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.6, maxDocFreq = Some(18L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(exact),
+      "capping can only UNDERCOUNT intersections — never invent a pair")
+    // The PLANTED near-dups (i, i+1000) share ~87% of their shingles, so a
+    // ~10%-of-postings cap keeps them comfortably above the threshold.
+    // (Marginal pairs sitting right at the threshold may legitimately drop
+    // — that is the documented trade of the cap, not a defect.)
+    val planted = exact.filter { case (a, b) => b == a + 1000L }
+    assert(planted.nonEmpty)
+    val recall = planted.count(capped.contains).toDouble / planted.size
+    assert(recall >= 0.9, s"planted-dup recall under cap $recall")
+    // sanity: an aggressive cap actually drops something somewhere
+    val capped1 = Dedup.jaccardPairsByPostings(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.01, maxDocFreq = Some(1L)).count()
+    val exact1 = Dedup.jaccardPairsByPostings(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.01).count()
+    assert(capped1 < exact1, "cap=1 at threshold~0 must prune pairs")
+  }
+
+  test("LSH plane count scales with corpus size; more planes shrink max bucket") {
+    // planesForCount: log-growth, floored and capped
+    assert(Similarity.planesForCount(100) == 4)
+    assert(Similarity.planesForCount(1000000, targetBucket = 256) == 12)
+    assert(Similarity.planesForCount(1L << 62) == 30)
+    assert(Similarity.planesForCount(1000000) >
+      Similarity.planesForCount(10000), "planes grow with n")
+    // empirical bucket bound: max bucket fraction shrinks as planes grow
+    val vecs = (0 until 400).map { i =>
+      (i.toLong, (0 until 16).map(d => math.sin(i * 0.37 + d * 1.13).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    def maxBucketFrac(planes: Int): Double = {
+      val m = vecs.select(Similarity.lshBucket($"embedding", planes).as("b"))
+        .groupBy($"b").count().agg(max($"count")).collect()(0).getLong(0)
+      m.toDouble / 400.0
+    }
+    val f4 = maxBucketFrac(4); val f8 = maxBucketFrac(8)
+    assert(f8 < f4, s"max bucket fraction must shrink with planes ($f4 -> $f8)")
+  }
+
   test("simhash banding: exact (no false negatives) for hamming <= 3, sound for any k") {
     val sigs = docs.select($"doc_id",
       GraftFunctions.simhash64(TextOps.tokens($"text")).as("s")).collect()
@@ -136,6 +185,27 @@ class OpsSpec extends SparkSpec {
     val full = Similarity.ivfTopK(vecs, queries, 10, nlist = 8, nprobe = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(full == exact, "probing every list must equal brute force")
+  }
+
+  test("IVF at the shipped q42 config (nlist=16, dim=64) plans and runs in bounded time") {
+    // Round-2 postmortem: an argmin whose expression tree grew exponentially
+    // in nlist passed the nlist=8 test above but OOM'd planning at nlist=16.
+    // This case pins the SHIPPED shape and puts a hard ceiling on
+    // plan-construction + analysis time so a blowup fails fast and red here
+    // instead of killing the driver's Verify/Bench runs.
+    val vecs = (0 until 500).map { i =>
+      (i.toLong, (0 until 64).map(d => math.sin(i * 0.37 + d * 1.13).toFloat).toArray)
+    }.toDF("vec_id", "embedding").cache()
+    val queries = vecs.filter($"vec_id" < 3)
+    val t0 = System.nanoTime()
+    // ivfTopK itself runs the bounded index-build jobs (where the round-2
+    // blowup lived), so the ceiling covers construction AND final planning.
+    val df = Similarity.ivfTopK(vecs, queries, 5, nlist = 16, nprobe = 4)
+    df.queryExecution.executedPlan // force analysis + physical planning
+    val planSec = (System.nanoTime() - t0) / 1e9
+    assert(planSec < 60.0, f"q42-shape build+planning took $planSec%.1f s — expression blowup?")
+    val rows = df.collect()
+    assert(rows.length == 3 * 5, s"expected 15 ranked rows, got ${rows.length}")
   }
 
   test("language id picks the language with most stopword hits") {
