@@ -69,10 +69,12 @@ object Bench {
     // leg stays ~10× its fixed per-job overhead.
     val pipelineRows = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_ROWS", "4000000").toLong
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    // Hard deadline on STARTING new work (pairs / ceiling legs): the driver
-    // kills the whole run at ~45 min with exit 124 and nothing parsed, so
-    // finishing early with fewer pairs strictly dominates.
-    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE", "1500").toLong
+    // Hard deadline on STARTING new pairs: the driver kills the whole run
+    // at ~45 min with exit 124 and nothing parsed, so finishing early with
+    // fewer pairs strictly dominates. A pair starts only if its projected
+    // END (budget = worst observed pair × 1.15) fits the deadline, so the
+    // run ends by ~deadline + estimation slack ≈ 33 min worst case.
+    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE", "1800").toLong
     val wallStart = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - wallStart) / 1e9
 

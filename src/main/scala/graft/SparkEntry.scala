@@ -358,6 +358,21 @@ object SparkEntry {
     "q43_match_phrase" -> ((s, dir) =>
       t(s, dir, "documents")
         .filter(Grep.matchPredicate(Seq("spark", "table"), Grep.MatchPhrase))
+        .select(col("doc_id"))),
+
+    // ── O14: Sphinx quorum `"spark vector table"/2` — ≥2 of 3 terms ──
+    "q44_match_quorum" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(Grep.matchPredicate(Seq("spark", "vector", "table"),
+          Grep.MatchQuorum(2)))
+        .select(col("doc_id"))),
+
+    // ── O14: Sphinx proximity `"spark table"~3` — both terms within a
+    // 4-token span (any order) ──
+    "q45_match_proximity" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(Grep.matchPredicate(Seq("spark", "table"),
+          Grep.MatchProximity(4)))
         .select(col("doc_id")))
   )
 
@@ -463,6 +478,10 @@ object SparkEntry {
     "q41_match_not" ->
       """SELECT doc_id FROM documents WHERE regexp_matches(lower(text), '\btable\b') AND NOT regexp_matches(lower(text), '\b(vector|spark)\b')""",
     "q43_match_phrase" ->
-      """SELECT doc_id FROM documents WHERE regexp_matches(lower(text), '\bspark\W+table\b')"""
+      """SELECT doc_id FROM documents WHERE regexp_matches(lower(text), '\bspark\W+table\b')""",
+    "q44_match_quorum" ->
+      """SELECT doc_id FROM documents WHERE (CASE WHEN regexp_matches(lower(text), '\bspark\b') THEN 1 ELSE 0 END + CASE WHEN regexp_matches(lower(text), '\bvector\b') THEN 1 ELSE 0 END + CASE WHEN regexp_matches(lower(text), '\btable\b') THEN 1 ELSE 0 END) >= 2""",
+    "q45_match_proximity" ->
+      """SELECT doc_id FROM documents WHERE len(list_filter(range(1, len(regexp_extract_all(lower(text), '\w+'))+1), i -> list_contains(regexp_extract_all(lower(text), '\w+')[i:i+3], 'spark') AND list_contains(regexp_extract_all(lower(text), '\w+')[i:i+3], 'table'))) > 0"""
   )
 }

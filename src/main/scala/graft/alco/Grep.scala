@@ -21,6 +21,13 @@ object Grep {
   case object MatchAny extends MatchMode // Sphinx OR
   case object MatchAll extends MatchMode // Sphinx AND
   case object MatchPhrase extends MatchMode // Sphinx "phrase"
+  /** Sphinx quorum `"a b c"/k`: at least k of the terms occur. */
+  final case class MatchQuorum(minMatch: Int) extends MatchMode
+  /** Sphinx proximity `"a b"~N`: all terms occur (any order) within a span
+    * of `maxSpan` consecutive tokens. Sphinx's distance N maps to
+    * maxSpan = #terms + N - 1 (N-1 intervening tokens allowed).
+    */
+  final case class MatchProximity(maxSpan: Int) extends MatchMode
 
   final case class Query(
       terms: Seq[String] = Nil,
@@ -55,6 +62,21 @@ object Grep {
         val pat = lowered.map(java.util.regex.Pattern.quote)
           .mkString("\\b", "\\W+", "\\b")
         lower(col("text")).rlike(pat)
+      case MatchQuorum(k) =>
+        // codegen'd: one array_contains per term, summed
+        lowered.map(t => when(array_contains(tokens(col("text")), t), 1)
+          .otherwise(0)).reduce(_ + _) >= k
+      case MatchProximity(span) =>
+        // positional check needs gap-free token positions, so empties from
+        // split (leading/duplicate separators) are dropped first; then:
+        // ∃ window start i such that every term occurs in tokens[i, i+span).
+        // O(len·terms·span) per row — the HOF chain is interpreted
+        // (HigherOrderFunctions are CodegenFallback) but stays a single
+        // projection: no shuffle, no UDF.
+        val toks = filter(tokens(col("text")), t => t =!= "")
+        exists(sequence(lit(1), greatest(size(toks), lit(1))),
+          i => lowered.map(t => array_contains(slice(toks, i, lit(span)), t))
+            .reduce(_ && _))
     }
   }
 

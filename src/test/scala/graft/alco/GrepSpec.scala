@@ -24,6 +24,29 @@ class GrepSpec extends SparkSpec {
     assert(phrase <= all)
   }
 
+  test("quorum match requires at least k of the terms") {
+    val df = Seq(
+      (1L, "spark and vector and table all here"),   // 3 of 3
+      (2L, "spark with a table"),                    // 2 of 3
+      (3L, "only spark present"),                    // 1 of 3
+      (4L, "none of them")).toDF("id", "text")
+    val hits = df.filter(Grep.matchPredicate(Seq("spark", "vector", "table"),
+      Grep.MatchQuorum(2))).select($"id").as[Long].collect().toSet
+    assert(hits == Set(1L, 2L), s"got $hits")
+  }
+
+  test("proximity match requires all terms within the token span, any order") {
+    val df = Seq(
+      (1L, "table near spark"),                          // span 3, reversed
+      (2L, "spark engine writes a table"),               // span 5 > 4
+      (3L, "a spark in my table today"),                 // span 4
+      (4L, "spark only"),                                // missing term
+      (5L, ", spark, table!")).toDF("id", "text")        // punctuation noise
+    val hits = df.filter(Grep.matchPredicate(Seq("spark", "table"),
+      Grep.MatchProximity(4))).select($"id").as[Long].collect().toSet
+    assert(hits == Set(1L, 3L, 5L), s"got $hits")
+  }
+
   test("phrase match is token-boundary, not substring (Sphinx semantics)") {
     val df = Seq(
       (1L, "we added retry logic for timeouts"),
