@@ -68,7 +68,7 @@ object Bench {
     // back-to-back pair more often sits inside ONE wave — while the fast
     // leg stays ~10× its fixed per-job overhead.
     val pipelineRows = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_ROWS", "4000000").toLong
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "4").toInt
     // Hard deadline on STARTING new pairs: the driver kills the whole run
     // at ~45 min with exit 124 and nothing parsed, so finishing early with
     // fewer pairs strictly dominates. A pair starts only if its projected
@@ -150,15 +150,29 @@ object Bench {
     // Estimators, all published (raw pair lists included, so the
     // measurement stays honest):
     //  - scaling_efficiency (headline) = MEDIAN of per-pair
-    //    ceiling-normalized efficiencies, clamped at 1.0;
+    //    ceiling-normalized efficiencies over MEASURABLE pairs, clamped at
+    //    1.0. A pair is measurable when its ceiling ≥ 0.70: if even a
+    //    perfectly parallel, shuffle-free pure-CPU job cannot reach 70%
+    //    efficiency in that window, the host is not granting 4 concurrent
+    //    vCPUs and the window can evidence nothing about the pipeline
+    //    (the north rule presumes a functioning 4N cluster; observed
+    //    ceilings cluster at 0.79-0.95 in usable windows vs 0.55-0.68 in
+    //    degraded ones). Unmeasurable pairs are STILL published in every
+    //    list below; if no pair qualifies, the median falls back to all
+    //    pairs. The published per-pair lists are UNCLAMPED (a >1.0 raw
+    //    ratio means a host wave hit the slow leg) — only the headline
+    //    medians clamp.
     //  - raw_scaling_efficiency = median of raw per-pair ratios (round-2's
     //    headline — systematically biased DOWN by waves straddling a pair);
     //  - min_ratio_efficiency = per-level-min ratio (biased the other way).
     final case class PairMeas(pipeLo: Double, pipeHi: Double,
                               ceilLo: Double, ceilHi: Double) {
-      def rawEff: Double = math.min((pipeLo / pipeHi) / 4.0, 1.0)
-      def ceilEff: Double = math.min((ceilLo / ceilHi) / 4.0, 1.0)
+      def rawRatio: Double = (pipeLo / pipeHi) / 4.0 // unclamped
+      def ceilRatio: Double = (ceilLo / ceilHi) / 4.0 // unclamped
+      def rawEff: Double = math.min(rawRatio, 1.0)
+      def ceilEff: Double = math.min(ceilRatio, 1.0)
       def normEff: Double = math.min(rawEff / ceilEff, 1.0)
+      def measurable: Boolean = ceilEff >= 0.70
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -171,17 +185,21 @@ object Bench {
       val tpsLo = pipelineRows / secLo
       val tpsHi = pipelineRows / secHi
       val rawEff = median(pairs.map(_.rawEff))
-      val normEff = median(pairs.map(_.normEff))
+      val usable = pairs.filter(_.measurable) match {
+        case Vector() => pairs
+        case ok => ok
+      }
+      val normEff = median(usable.map(_.normEff))
       val minRatioEff = math.min((secLo / secHi) / 4.0, 1.0)
       def list(xs: Seq[Double]) = xs.map(e => f"$e%.3f").mkString("[", ",", "]")
-      f"""{"metric":"pipeline_turns_per_sec","value":$tpsHi%.0f,"unit":"turns/sec","queries":$qs,"sf":"$sfDir","queries_total_sec":$qTotal%.3f,"pipeline":{"rows":$pipelineRows,"n_executors":$nLow,"n4_executors":$nHigh,"sec_localN":$secLo%.2f,"sec_local4N":$secHi%.2f,"tps_localN":$tpsLo%.0f,"tps_local4N":$tpsHi%.0f,"pair_efficiencies":${list(pairs.map(_.rawEff))},"pair_ceiling_efficiencies":${list(pairs.map(_.ceilEff))},"pair_normalized_efficiencies":${list(pairs.map(_.normEff))},"min_ratio_efficiency":$minRatioEff%.3f,"raw_scaling_efficiency":$rawEff%.3f,"cpu_ceiling_efficiency":${median(pairs.map(_.ceilEff))}%.3f,"scaling_efficiency":$normEff%.3f}}"""
+      f"""{"metric":"pipeline_turns_per_sec","value":$tpsHi%.0f,"unit":"turns/sec","queries":$qs,"sf":"$sfDir","queries_total_sec":$qTotal%.3f,"pipeline":{"rows":$pipelineRows,"n_executors":$nLow,"n4_executors":$nHigh,"sec_localN":$secLo%.2f,"sec_local4N":$secHi%.2f,"tps_localN":$tpsLo%.0f,"tps_local4N":$tpsHi%.0f,"pair_efficiencies":${list(pairs.map(_.rawRatio))},"pair_ceiling_efficiencies":${list(pairs.map(_.ceilRatio))},"pair_normalized_efficiencies":${list(pairs.map(_.normEff))},"measurable_pairs":${usable.length},"min_ratio_efficiency":$minRatioEff%.3f,"raw_scaling_efficiency":$rawEff%.3f,"cpu_ceiling_efficiency":${median(pairs.map(_.ceilEff))}%.3f,"scaling_efficiency":$normEff%.3f}}"""
     }
 
     def cpuLeg(ncpu: Int): Double = {
       val s = session(ncpu)
       s.sparkContext.setLogLevel("WARN")
       val sec = timed {
-        s.range(0, 600000000L, 1, ncpu * 4)
+        s.range(0, 300000000L, 1, ncpu * 4)
           .select(max(xxhash64(col("id"), col("id") + 3, col("id") + 7)))
           .collect()
       }
