@@ -373,7 +373,26 @@ object SparkEntry {
       t(s, dir, "documents")
         .filter(Grep.matchPredicate(Seq("spark", "table"),
           Grep.MatchProximity(4)))
-        .select(col("doc_id")))
+        .select(col("doc_id"))),
+
+    // ── dedup: near-dup CLUSTERS — the q21 exact pair set closed into
+    // connected components by distributed min-label propagation (the
+    // pairs→clusters→keeper step of a production dedup pipeline) ──
+    "q46_dedup_clusters" -> ((s, dir) => {
+      val sets = t(s, dir, "documents").select(col("doc_id").as("id"),
+        array_distinct(TextOps.tokens(col("text"))).as("sh"))
+      val pairs = Dedup.jaccardPairsFromSets(sets, threshold = 0.499999, sampleMod = 7)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("j"))
+        .filter(col("j") >= 0.5)
+      Dedup.connectedComponents(pairs.select(col("id_a"), col("id_b")))
+    }),
+
+    // ── deterministic content-hash sampling (stable 1/20 subset — the
+    // reproducible train/eval-split primitive; md5-based so the oracle
+    // replays it bit-identically) ──
+    "q47_hash_sample" -> ((s, dir) =>
+      Sampling.hashSample(t(s, dir, "events"), "event_id", buckets = 20)
+        .select(col("event_id"), col("event_type")))
   )
 
   // ── DuckDB oracle fragments for the generator-based flagship queries
@@ -482,6 +501,12 @@ object SparkEntry {
     "q44_match_quorum" ->
       """SELECT doc_id FROM documents WHERE (CASE WHEN regexp_matches(lower(text), '\bspark\b') THEN 1 ELSE 0 END + CASE WHEN regexp_matches(lower(text), '\bvector\b') THEN 1 ELSE 0 END + CASE WHEN regexp_matches(lower(text), '\btable\b') THEN 1 ELSE 0 END) >= 2""",
     "q45_match_proximity" ->
-      """SELECT doc_id FROM documents WHERE len(list_filter(range(1, len(regexp_extract_all(lower(text), '\w+'))+1), i -> list_contains(regexp_extract_all(lower(text), '\w+')[i:i+3], 'spark') AND list_contains(regexp_extract_all(lower(text), '\w+')[i:i+3], 'table'))) > 0"""
+      """SELECT doc_id FROM documents WHERE len(list_filter(range(1, len(regexp_extract_all(lower(text), '\w+'))+1), i -> list_contains(regexp_extract_all(lower(text), '\w+')[i:i+3], 'spark') AND list_contains(regexp_extract_all(lower(text), '\w+')[i:i+3], 'table'))) > 0""",
+    // the q21 pair set closed into components via transitive reachability
+    // (recursive CTE) — component = min reachable id
+    "q46_dedup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '\w+')) AS toks FROM documents), p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM t a, t b WHERE a.doc_id % 7 = 0 AND a.doc_id < b.doc_id AND round(CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) = 0 THEN 0.0 ELSE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(list_distinct(list_concat(a.toks, b.toks))) END, 6) >= 0.5), edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p), reach(src, dst) AS (SELECT a, b FROM edges UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a) SELECT src AS id, least(src, min(dst)) AS component FROM reach GROUP BY src""",
+    "q47_hash_sample" ->
+      """SELECT event_id, event_type FROM events WHERE CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 20 = 0"""
   )
 }

@@ -196,6 +196,61 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over an undirected pair list `(id_a, id_b)` —
+    * the step that turns PAIRWISE near-dup hits (minhash/simhash/cosine/
+    * jaccard) into duplicate CLUSTERS with one keeper each. Distributed
+    * min-label propagation: each round every vertex adopts the smallest
+    * label among itself and its neighbors (one join + one min-aggregate —
+    * both plain shuffles on id), until a round changes nothing. Rounds =
+    * cluster diameter; near-dup clusters are dense (diameter 1-3), so at
+    * 10^12 rows this is a handful of hash shuffles over the EDGE list
+    * (|edges| ≪ |corpus| after LSH), never a driver-side union-find and
+    * never O(n²). `localCheckpoint` truncates the per-round lineage so the
+    * plan doesn't grow with iterations.
+    *
+    * @return (id, component) for every vertex appearing in `pairs`;
+    *         component = min id of the vertex's cluster. Isolated docs
+    *         (no near-dup pair) are their own implicit singleton clusters
+    *         and are not materialized.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id"))
+      .distinct().withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      iter += 1
+      // neighbor labels flow along edges; min with own label
+      val msgs = edges.join(labels, edges("dst") === labels("id"))
+        .select(col("src").as("id"), col("lbl"))
+      val next = labels.select(col("id"), col("lbl")).union(msgs)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      // converged iff no label changed (anti-join on the exact pair)
+      converged = next.join(labels,
+        next("id") === labels("id") && next("lbl") === labels("lbl"),
+        "left_anti").isEmpty
+      labels = next
+    }
+    labels.select(col("id"), col("lbl").as("component"))
+  }
+
+  /** Cluster-level dedup projection: drop every row whose id is a
+    * non-representative member of a near-dup cluster (keeper = min id,
+    * matching dropExactDuplicates' deterministic choice).
+    */
+  def dropByClusters(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** n-gram Jaccard similarity for explicit candidate pairs (brute variant
     * used as the LSH recall oracle in tests; bounded by `sampleMod` so the
     * pair count stays ~|df|²/mod). Test-oracle only — the postings join

@@ -152,6 +152,46 @@ class PipelineSpec extends SparkSpec {
       "vacuum leaves exactly the committed files on disk")
   }
 
+  test("batch idempotency is writer-scoped: a new writer's batch 0 is not masked") {
+    val out4 = tmpDir("pipe_writer")
+    val cut = lit("2025-01-03 00:00:00").cast("timestamp")
+    val half = turns.filter($"ts" < cut)
+    // writer A commits its batch 0
+    Pipeline.run(spark, half.toDF(), out4, Pipeline.Config(saltBuckets = 8),
+      batchId = 0L, writerId = "writerA")
+    val afterA = spark.read.parquet(s"$out4/routed").count()
+    // writer A replaying batch 0 short-circuits…
+    val replay = Pipeline.run(spark, half.toDF(), out4, Pipeline.Config(saltBuckets = 8),
+      batchId = 0L, writerId = "writerA")
+    assert(replay.routedRows == 0L, "same writer's replay must no-op")
+    // …but writer B's genuinely new batch 0 (e.g. a fresh streaming
+    // checkpoint restarting numbering) must PROCESS, not silently drop
+    val rB = Pipeline.run(spark, turns.toDF(), out4, Pipeline.Config(saltBuckets = 8),
+      batchId = 0L, writerId = "writerB")
+    assert(rB.routedRows > 0L, "a different writer's batch 0 must not be masked")
+    val total = spark.read.parquet(s"$out4/routed").count()
+    assert(total == oracleRouted.size && total > afterA)
+  }
+
+  test("null tool routes to the _none partition and survives commit + cleanup") {
+    val out5 = tmpDir("pipe_nulltool")
+    // free-text rows carry tool = "" in Gen; force a null instead — the
+    // partition key, manifest stats and orphan cleanup must all agree
+    val withNullTool = turns.toDF()
+      .withColumn("tool", when($"tool" === "", lit(null).cast("string"))
+        .otherwise($"tool"))
+    val r = Pipeline.run(spark, withNullTool, out5, Pipeline.Config(saltBuckets = 8))
+    assert(r.routedRows == oracleRouted.size)
+    val routed = spark.read.parquet(s"$out5/routed")
+    assert(routed.count() == oracleRouted.size,
+      "null-tool rows must survive commit + orphan cleanup")
+    assert(!routed.select($"tool_key").distinct().as[String].collect()
+      .contains("__HIVE_DEFAULT_PARTITION__"))
+    // rerunning (idempotent no-op) must not vacuum the null-tool files
+    Pipeline.run(spark, withNullTool, out5, Pipeline.Config(saltBuckets = 8))
+    assert(spark.read.parquet(s"$out5/routed").count() == oracleRouted.size)
+  }
+
   private def listDataFiles(root: String): Set[String] = {
     import scala.jdk.CollectionConverters._
     val base = java.nio.file.Paths.get(root)

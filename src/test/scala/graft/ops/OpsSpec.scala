@@ -70,6 +70,26 @@ class OpsSpec extends SparkSpec {
     assert(capped1 < exact1, "cap=1 at threshold~0 must prune pairs")
   }
 
+  test("connected components: exact clusters from a pair list; dropByClusters keeps min id") {
+    // components: {1,2,3,8,9} (9-1 bridges the chain), {5,6}; 7 isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 1L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 1L, 9L -> 1L,
+      5L -> 5L, 6L -> 5L), s"got $got")
+    // a longer chain exercises multi-round propagation
+    val chain = (10L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val chainGot = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chainGot.values.toSet == Set(10L) && chainGot.size == 21)
+    // cluster-level dedup keeps exactly the component representatives
+    val df = (1L to 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val kept = Dedup.dropByClusters(df, pairs, "doc_id")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L, 7L), s"kept $kept")
+  }
+
   test("LSH plane count scales with corpus size; more planes shrink max bucket") {
     // planesForCount: log-growth, floored and capped
     assert(Similarity.planesForCount(100) == 4)
@@ -206,6 +226,27 @@ class OpsSpec extends SparkSpec {
     assert(planSec < 60.0, f"q42-shape build+planning took $planSec%.1f s — expression blowup?")
     val rows = df.collect()
     assert(rows.length == 3 * 5, s"expected 15 ranked rows, got ${rows.length}")
+  }
+
+  test("hash sampling is deterministic, partition-invariant, and splits cleanly") {
+    val df = (0L until 5000L).map(i => (i, s"payload $i")).toDF("id", "text")
+    val s1 = Sampling.hashSample(df, "id", 20).select($"id").as[Long].collect().toSet
+    // repartitioning must not change membership (rand()-based sample would)
+    val s2 = Sampling.hashSample(df.repartition(13), "id", 20)
+      .select($"id").as[Long].collect().toSet
+    assert(s1 == s2, "sample must be a pure function of the data")
+    // rate ≈ 1/20 (md5 is uniform; 3σ bound for n=5000, p=0.05)
+    assert(s1.size > 160 && s1.size < 340, s"sample size ${s1.size}")
+    // split: disjoint, exhaustive, stable as the corpus grows
+    val (train, eval) = Sampling.hashSplit(df, "id", evalPermille = 100)
+    val tr = train.select($"id").as[Long].collect().toSet
+    val ev = eval.select($"id").as[Long].collect().toSet
+    assert(tr.intersect(ev).isEmpty && tr.size + ev.size == 5000)
+    val (_, evalGrown) = Sampling.hashSplit(
+      (0L until 10000L).map(i => (i, s"payload $i")).toDF("id", "text"),
+      "id", evalPermille = 100)
+    val evG = evalGrown.select($"id").as[Long].collect().toSet
+    assert(ev.subsetOf(evG), "membership stable under corpus growth")
   }
 
   test("language id picks the language with most stopword hits") {
