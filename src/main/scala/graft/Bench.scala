@@ -26,7 +26,8 @@ object Bench {
     "q01_rollup_counts", "q02_json_parse", "q04_filter_in", "q05_match_any",
     "q07_enrich_bcast", "q08_join_large", "q09_anti_join", "q11_distinct_sets",
     "q13_topk", "q17_dedup_replace", "q19_dedup_exact", "q22_minhash_lsh",
-    "q24_ann_brute", "q26_langid", "q28_token_counts", "q29_fingerprint")
+    "q24_ann_brute", "q26_langid", "q28_token_counts", "q29_fingerprint",
+    "q43_match_phrase", "q44_match_quorum", "q47_hash_sample")
 
   /** Bench working set lives on tmpfs when available: a real N/4N-executor
     * cluster has per-executor local disks, so the sandbox's ONE shared

@@ -392,7 +392,15 @@ object SparkEntry {
     // replays it bit-identically) ──
     "q47_hash_sample" -> ((s, dir) =>
       Sampling.hashSample(t(s, dir, "events"), "event_id", buckets = 20)
-        .select(col("event_id"), col("event_type")))
+        .select(col("event_id"), col("event_type"))),
+
+    // ── multimodal resize plumbing: stub scaler, dims updated, corrupt
+    // rows pass through as null payloads (rows-only; determinism and
+    // per-row behavior proven in OpsSpec) ──
+    "q48_multimodal_resize" -> ((s, dir) =>
+      Multimodal.resize(Multimodal.syntheticMedia(s, 3000), 128, 128)
+        .groupBy(col("kind"), col("payload").isNull.as("corrupt"))
+        .agg(count(lit(1)).as("n"), sum(length(col("payload"))).as("bytes")))
   )
 
   // ── DuckDB oracle fragments for the generator-based flagship queries

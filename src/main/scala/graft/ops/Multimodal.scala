@@ -68,6 +68,39 @@ object Multimodal {
       }
   }
 
+  /** Resize: target dims ride the metadata; the pixel work is the stubbed
+    * codec step (same contract as decodeStub — swap the body for libvips/
+    * swscale). Corrupt/null payloads pass through with ok=false semantics
+    * (payload stays null, dims still updated so downstream schema holds).
+    */
+  def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val resized = media
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init (real scaler contexts initialize here, once)
+        it.map { case (id, payload) =>
+          (id, resizeStub(payload, targetW, targetH))
+        }
+      }
+      .toDF("media_id", "payload_resized")
+    media.drop("payload").join(resized, Seq("media_id"))
+      .withColumn("width", lit(targetW))
+      .withColumn("height", lit(targetH))
+      .withColumnRenamed("payload_resized", "payload")
+  }
+
+  /** STUB scaler: deterministic bytes of length ∝ target area. */
+  private def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    if (bytes == null || bytes.isEmpty) return null
+    val out = new Array[Byte](math.max(1, (w * h) / 256))
+    var i = 0
+    while (i < out.length) { out(i) = bytes(i % bytes.length); i += 1 }
+    out
+  }
+
   /** "Frame sampling" on the stub features: every k-th element — the shape
     * of video frame-subsampling (array ops, pure Catalyst).
     */

@@ -73,6 +73,20 @@ class PlanSpec extends SparkSpec {
       s"q21 must use the postings equi-join:\n$p")
   }
 
+  test("q44/q45/q47 match and sample predicates are shuffle-free single scans") {
+    Seq("q44_match_quorum", "q45_match_proximity", "q47_hash_sample").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, dir))
+      assert(!p.contains("Exchange"),
+        s"$q must be a scan+filter with no shuffle:\n$p")
+    }
+  }
+
+  test("q46 cluster closure plans no cartesian product") {
+    val p = plan(SparkEntry.queries("q46_dedup_clusters")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"q46 must stay equi-join based:\n$p")
+  }
+
   test("dedup hash-shuffle dissolves the hot-conversation skew") {
     import spark.implicits._
     // 30% of rows share one conv_id; after the dedup aggregation the rows

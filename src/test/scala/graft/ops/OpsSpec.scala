@@ -249,6 +249,26 @@ class OpsSpec extends SparkSpec {
     assert(ev.subsetOf(evG), "membership stable under corpus growth")
   }
 
+  test("multimodal resize updates dims, keeps corrupt rows, deterministic payload") {
+    val media = Multimodal.syntheticMedia(spark, 100)
+    val r = Multimodal.resize(media, 128, 128)
+    assert(r.schema.fieldNames.toSet == media.schema.fieldNames.toSet)
+    val rows = r.select($"media_id", $"width", $"height", $"payload").collect()
+    assert(rows.length == 100)
+    assert(rows.forall(x => x.getInt(1) == 128 && x.getInt(2) == 128))
+    // corrupt rows (media_id % 17 == 0 → null payload) pass through as null
+    rows.foreach { x =>
+      val corrupt = x.getLong(0) % 17 == 0
+      assert((x.get(3) == null) == corrupt, s"row ${x.getLong(0)}")
+    }
+    // deterministic: same input → byte-identical output
+    val again = Multimodal.resize(media, 128, 128)
+      .select($"media_id", $"payload").collect()
+      .map(x => x.getLong(0) -> Option(x.getAs[Array[Byte]](1)).map(_.toSeq)).toMap
+    val first = rows.map(x => x.getLong(0) -> Option(x.getAs[Array[Byte]](3)).map(_.toSeq)).toMap
+    assert(again == first)
+  }
+
   test("language id picks the language with most stopword hits") {
     val df = Seq(
       (1L, "the cat and the dog is in the house"),
