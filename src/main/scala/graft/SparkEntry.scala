@@ -148,15 +148,17 @@ object SparkEntry {
         .distinct()
     }),
 
-    // ── O34: REPLACE/last-write-wins dedup, deterministic ──
-    "q17_dedup_replace" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id"), col("event_type"))
-        .orderBy(col("ts").desc, col("event_id").desc)
+    // ── O34: REPLACE/last-write-wins dedup, deterministic. MaxByRow hash
+    // aggregate, NOT a row_number window: the window sorts every group's
+    // rows after the shuffle, the aggregate collapses them map-side and
+    // ships one buffered row per (user_id, event_type) — same plan shape
+    // as the pipeline's REPLACE stage (PlanSpec guards both) ──
+    "q17_dedup_replace" -> ((s, dir) =>
       t(s, dir, "events")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("user_id"), col("event_type"), col("event_id"))
-    }),
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(graft.functions.MaxByRow.max_by_row(
+          col("event_id"), struct(col("ts"), col("event_id"))).as("event_id"))
+        .select(col("user_id"), col("event_type"), col("event_id"))),
 
     // ── O24: rollup grouping sets ──
     "q18_rollup_all" -> ((s, dir) =>

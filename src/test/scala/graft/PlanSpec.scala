@@ -73,6 +73,12 @@ class PlanSpec extends SparkSpec {
       s"q21 must use the postings equi-join:\n$p")
   }
 
+  test("q17 REPLACE dedup is a hash aggregate, not a window sort") {
+    val p = plan(SparkEntry.queries("q17_dedup_replace")(spark, dir))
+    assert(!p.contains("Window") && p.contains("ObjectHashAggregate"),
+      s"q17 must aggregate, not window-sort:\n$p")
+  }
+
   test("q44/q45/q47 match and sample predicates are shuffle-free single scans") {
     Seq("q44_match_quorum", "q45_match_proximity", "q47_hash_sample").foreach { q =>
       val p = plan(SparkEntry.queries(q)(spark, dir))
