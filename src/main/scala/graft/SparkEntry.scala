@@ -402,7 +402,16 @@ object SparkEntry {
     "q48_multimodal_resize" -> ((s, dir) =>
       Multimodal.resize(Multimodal.syntheticMedia(s, 3000), 128, 128)
         .groupBy(col("kind"), col("payload").isNull.as("corrupt"))
-        .agg(count(lit(1)).as("n"), sum(length(col("payload"))).as("bytes")))
+        .agg(count(lit(1)).as("n"), sum(length(col("payload"))).as("bytes"))),
+
+    // ── O22 scale path: HLL++ approximate distinct — the bounded-state
+    // companion to q12's exact countDistinct (exact distinct state is
+    // unbounded at 10^12 rows; HLL is ~KB per group at any scale).
+    // Sketch values are engine-specific → rows-only; the ±rsd contract
+    // vs exact is asserted in a spec ──
+    "q49_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("nd_approx")))
   )
 
   // ── DuckDB oracle fragments for the generator-based flagship queries

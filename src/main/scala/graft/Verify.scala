@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare.
@@ -11,47 +11,19 @@ import java.nio.file.{Files, Paths}
   *  - every query dump runs in its own watchdog'd thread with a per-query
   *    wall-clock budget; on timeout its Spark job group is cancelled and
   *    the loop moves on — a single bad query costs one row, not the round.
+  * VerifySpec proves both properties with a deliberately hanging query.
   */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
 
-    // ── oracle_sql.json FIRST (see scaladoc) ──
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val outAbs = new java.io.File(outDir).getAbsolutePath
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__GRAFT_OUT__", outAbs))}" }
-      .mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-
-    // The deterministic transcripts table the generator-based queries
-    // (q33-q36) run over — dumped so their DuckDB oracles can read the SAME
-    // input via the __GRAFT_OUT__ substitution above.
-    graft.alco.Gen.turns(spark, 20000L).toDF().coalesce(1)
-      .write.mode("overwrite").parquet(s"$outDir/transcripts_input")
-
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT", "240").toLong
-    SparkEntry.queries.foreach { case (name, fn) =>
+  /** Dump `queries` results to `outDir`, one parquet dir per query, under a
+    * per-query watchdog. Returns (ok, failed-or-timed-out) query names.
+    */
+  def dumpAll(spark: SparkSession, sfDir: String, outDir: String,
+              queries: Map[String, (SparkSession, String) => DataFrame],
+              budgetSec: Long): (Seq[String], Seq[String]) = {
+    val ok = Seq.newBuilder[String]
+    val bad = Seq.newBuilder[String]
+    queries.foreach { case (name, fn) =>
       @volatile var err: Option[Throwable] = None
       val worker = new Thread(() =>
         try {
@@ -70,13 +42,64 @@ object Verify {
         worker.interrupt()
         worker.join(10000) // brief grace for the cancel to unwind
         System.err.println(s"[verify] $name TIMED OUT after ${budgetSec}s — skipped")
+        bad += name
       } else err match {
-        case Some(e) => System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        case Some(e) =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          bad += name
         case None =>
           val sec = (System.nanoTime() - t0) / 1e9
           System.err.println(f"[verify] $name ok ($sec%.1f s)")
+          ok += name
       }
     }
+    (ok.result(), bad.result())
+  }
+
+  /** oracle_sql.json — written FIRST (see scaladoc). JSON string escape
+    * covers backslash, quote, and ALL control chars (<0x20) — a tab or CR
+    * in builder-authored SQL would otherwise make the driver's json.load
+    * fail and silently zero the round's correctness.
+    */
+  def writeOracleJson(outDir: String, oracles: Map[String, String]): Unit = {
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val outAbs = new java.io.File(outDir).getAbsolutePath
+    val json = oracles
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__GRAFT_OUT__", outAbs))}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+
+    writeOracleJson(outDir, SparkEntry.oracleSql)
+
+    // The deterministic transcripts table the generator-based queries
+    // (q33-q36) run over — dumped so their DuckDB oracles can read the SAME
+    // input via the __GRAFT_OUT__ substitution above.
+    graft.alco.Gen.turns(spark, 20000L).toDF().coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/transcripts_input")
+
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT", "240").toLong
+    dumpAll(spark, sfDir, outDir, SparkEntry.queries, budgetSec)
     spark.stop()
   }
 }

@@ -22,4 +22,17 @@ class QueriesSpec extends SparkSpec {
       assert(n >= 0)
     }
   }
+
+  test("q49 approx distinct tracks q12 exact within the configured rsd") {
+    val exact = SparkEntry.queries("q12_count_distinct")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = SparkEntry.queries("q49_approx_distinct")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      val a = approx(k).toDouble
+      assert(math.abs(a - n) <= math.max(2.0, n * 0.1),
+        s"$k: approx $a vs exact $n")
+    }
+  }
 }
