@@ -1,0 +1,49 @@
+package graft.alco
+
+import org.apache.spark.sql.SparkSession
+
+/** spark-submit entry point for the production pipeline — the deployment
+  * shape of BASELINE.json's north rule ("run via spark-submit on a
+  * multi-executor cluster at N and 4N executors"):
+  *
+  * {{{
+  * spark-submit --class graft.alco.PipelineMain \
+  *   --num-executors <N> --executor-cores C --executor-memory M \
+  *   alcospark.jar <inPath> <outRoot> [batchId] [writerId] [saltBuckets]
+  * }}}
+  *
+  * Master/executor topology comes entirely from spark-submit — the builder
+  * sets NO master, so the same jar runs local[k] in the sandbox and YARN/
+  * k8s clusters unchanged. Cluster sizing maps 1:1: nothing in
+  * Pipeline.run depends on local mode (one data shuffle, broadcast dims,
+  * write-pass stats via observe(), driver-side metadata bounded by
+  * #partitions). Exit code 0 iff the batch committed (or idempotently
+  * short-circuited); the Result is printed as one JSON line for the
+  * orchestrator.
+  */
+object PipelineMain {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: PipelineMain <inPath> <outRoot> [batchId] [writerId] [saltBuckets]")
+    val inPath = args(0)
+    val outRoot = args(1)
+    val batchId = if (args.length > 2) args(2).toLong else 0L
+    val writerId = if (args.length > 3) args(3) else ""
+    val saltBuckets = if (args.length > 4) args(4).toInt else 64
+
+    val spark = SparkSession.builder()
+      .appName(s"alcospark-pipeline-batch-$batchId")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try {
+      val r = Pipeline.run(spark, spark.read.parquet(inPath), outRoot,
+        Pipeline.Config(saltBuckets = saltBuckets), batchId, writerId)
+      println(
+        s"""{"batch_id":${r.batchId},"snapshot_id":${r.snapshotId},""" +
+        s""""input_rows":${r.inputRows},"routed_rows":${r.routedRows},""" +
+        s""""quarantined_rows":${r.quarantinedRows},""" +
+        s""""merged_partitions":${r.mergedPartitions},""" +
+        s""""total_ms":${r.stageTimings.getOrElse("total_ms", 0L)}}""")
+    } finally spark.stop()
+  }
+}
