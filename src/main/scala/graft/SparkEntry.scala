@@ -428,13 +428,16 @@ object SparkEntry {
   // types Spark's parquet timestamps (TIMESTAMP vs TIMESTAMPTZ).
   private def duckDay(ts: String) =
     s"strftime(make_timestamp(CAST(floor(epoch($ts)) AS BIGINT) * 1000000), '%Y-%m-%d')"
-  // Parse.classify precedence: P1, else P2, else P3 for non-structured
-  // non-empty SINGLE-LINE text; anything else quarantines. The single-line
-  // term mirrors classify's explicit `contains \n` rule exactly (regex `$`
-  // semantics differ between Java and RE2, so neither side uses one).
+  // Parse.classify precedence: routing metadata must be present (null/empty
+  // role or null ts quarantines — ADVICE r3), then P1, else P2, else P3 for
+  // non-structured non-empty SINGLE-LINE text; anything else quarantines.
+  // The single-line term mirrors classify's explicit `contains \n` rule
+  // exactly (regex `$` semantics differ between Java and RE2, so neither
+  // side uses one).
   private def duckOk =
-    s"(regexp_matches(text, '${Parse.P1.regex}') OR regexp_matches(text, '${Parse.P2.regex}') OR " +
-      "(NOT (starts_with(text, 'CALL') OR starts_with(text, 'RESULT')) AND length(text) > 0 AND NOT contains(text, chr(10))))"
+    "(role IS NOT NULL AND role <> '' AND ts IS NOT NULL AND " +
+      s"(regexp_matches(text, '${Parse.P1.regex}') OR regexp_matches(text, '${Parse.P2.regex}') OR " +
+      "(NOT (starts_with(text, 'CALL') OR starts_with(text, 'RESULT')) AND length(text) > 0 AND NOT contains(text, chr(10)))))"
 
   /** DuckDB oracles: bare table names resolve against the same sfDir;
     * `__GRAFT_OUT__` paths resolve against Verify's dump dir. Omitted keys

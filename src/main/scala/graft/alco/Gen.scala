@@ -1,7 +1,41 @@
 package graft.alco
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, Dataset, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftx.ColumnBridge
+import org.apache.spark.sql.types.DataType
+
+/** Identity wrapper marked non-deterministic so the optimizer pins the
+  * wrapped alias in place: predicate pushdown will NOT substitute it into a
+  * filter and push further down.
+  *
+  * Why (round-4 postmortem of the 64 KB codegen failure): `Gen.turns` is a
+  * pure expression tree, so a downstream filter (e.g. the quarantine split's
+  * `pattern_id =!= 0`) gets pushed through every generator projection by
+  * substituting each alias with its defining expression — the classifier's
+  * CASE (with two grok matches, three text predicates, …) ends up inlining
+  * the full text/conv_id generator CASEs dozens of times, and the generated
+  * `processNext()` blows Janino's 64 KB method limit. Real inputs are
+  * parquet scans whose columns are plain attributes (substitution is free
+  * and pushdown is pure win); only the synthetic generator has this
+  * exploding-substitution shape, so the barrier lives here, on the one
+  * column the parse stage re-references many times. The VALUE is still fully
+  * deterministic in the row — only the optimizer contract says "don't move
+  * me", the same contract Spark's own uuid()/rand() rely on.
+  */
+private[alco] case class PushdownBarrier(child: Expression)
+    extends UnaryExpression {
+  override lazy val deterministic: Boolean = false
+  override def dataType: DataType = child.dataType
+  override def prettyName: String = "pushdown_barrier"
+  override def nullSafeEval(input: Any): Any = input
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => c)
+  override protected def withNewChildInternal(newChild: Expression): PushdownBarrier =
+    copy(child = newChild)
+}
 
 /** Deterministic transcripts generator (FIXTURES.md §1-2).
   *
@@ -20,8 +54,16 @@ object Gen {
   /** 2025-01-01T00:00:00Z, micros. */
   private val baseEpochSec = 1735689600L
 
+  private def barrier(c: Column): Column =
+    ColumnBridge.column(PushdownBarrier(ColumnBridge.expression(c)))
+
+  /** @param textBarrier test-only escape hatch: false reproduces the
+    *                    unbarriered expression tree (PlanSpec proves the
+    *                    64 KB blowup it causes is loud, guarding the barrier
+    *                    itself against regression).
+    */
   def turns(spark: SparkSession, n: Long, seed: Long = 42L,
-            numPartitions: Int = 0): Dataset[Turn] = {
+            numPartitions: Int = 0, textBarrier: Boolean = true): Dataset[Turn] = {
     import spark.implicits._
     val parts =
       if (numPartitions > 0) numPartitions
@@ -74,7 +116,10 @@ object Gen {
             pmod(xxhash64(col("conv_id"), lit(seed + 1)), lit(3600)) +
             col("turn_idx") * stepSec))
       .withColumn("malformed", pmod(col("h"), lit(100)) === 0)
-      .withColumn("text", textExpr(seed))
+      // barrier: see PushdownBarrier scaladoc — a filter over the parse
+      // stage must not substitute the text generator into itself.
+      .withColumn("text",
+        if (textBarrier) barrier(textExpr(seed)) else textExpr(seed))
       .select($"conv_id", $"turn_idx", $"role", $"text", $"tool", $"ts")
 
     df.as[Turn]

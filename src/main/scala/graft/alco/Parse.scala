@@ -1,19 +1,34 @@
 package graft.alco
 
+import graft.functions.GrokMatch
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Parse stage (SURVEY.md O7/O8/O10/O11): classify each turn's `text`
   * against the compiled grok library and extract structured fields, all as
-  * codegen'd Catalyst expressions (`rlike` / `regexp_extract` / `from_json`).
-  * Reference analog: alco's `json.loads` + timestamp split in
-  * Collector.process_message [PK]; here the "wire format" is the transcript
-  * text grammar of FIXTURES.md §2.
+  * codegen'd Catalyst expressions. Reference analog: alco's `json.loads` +
+  * timestamp split in Collector.process_message [PK]; here the "wire format"
+  * is the transcript text grammar of FIXTURES.md §2.
+  *
+  * Each pattern is matched ONCE per row via the custom `GrokMatch`
+  * expression, which returns a struct of all capture groups (round-3
+  * verdict: the previous rlike + N×regexp_extract pile evaluated P1 up to 6×
+  * per row and its generated code blew Janino's 64 KB method limit, silently
+  * dropping the fused flagship plans to interpreted execution). classify
+  * carries the match structs forward in internal `__g1`/`__g2` columns so
+  * the fused classify→extract shape never re-matches; the batch pipeline
+  * drops them before its dedup shuffle (narrow shuffle rows) and extract
+  * recomputes them once per SURVIVING row.
   *
   * Rows matching no pattern are NOT dropped: `pattern_id = 0` marks them for
   * the quarantine path, counted in the audit table (alco logs malformed
-  * messages [PK, medium]).
+  * messages [PK, medium]). Rows with missing routing metadata (null role /
+  * empty role / null ts) are quarantined the same way when those columns are
+  * present: a null day or role would partition to
+  * __HIVE_DEFAULT_PARTITION__ while the manifest names the coalesced key,
+  * and the orphan cleanup would then delete the committed files (ADVICE r3,
+  * medium).
   */
 object Parse {
 
@@ -33,10 +48,18 @@ object Parse {
 
   val patterns: Seq[Grok.Compiled] = Seq(P1, P2, P3)
 
+  /** Internal single-pass match-struct columns added by `classify` and
+    * consumed (and dropped) by `extract`. The batch pipeline drops them
+    * before the dedup shuffle via this list.
+    */
+  val matchCols: Seq[String] = Seq("__g1", "__g2")
+  private val G1 = matchCols(0)
+  private val G2 = matchCols(1)
+
   private val attrsType = MapType(StringType, StringType)
 
-  private def ext(c: Column, p: Grok.Compiled, field: String): Column =
-    regexp_extract(c, p.regex, p.groupOf(field))
+  private def grok(c: Column, p: Grok.Compiled): Column =
+    GrokMatch.grok_match(c, p.regex, p.fields)
 
   /** Flat string-valued JSON object body (`"k":"v",…` without the braces)
     * → map<string,string>, as pure codegen'd expressions. `from_json`
@@ -57,51 +80,73 @@ object Parse {
       map_from_arrays(keys, vals))
   }
 
-  /** Pattern classification only: pattern_id int (1/2/3, 0 = quarantine).
-    * Split from `extract` so the REPLACE-dedup shuffle can run between them
-    * and carry only flat narrow columns — field extraction (regex groups,
-    * the attrs map) happens once per SURVIVING row, after dedup.
+  /** Pattern classification: pattern_id int (1/2/3, 0 = quarantine), plus
+    * the `__g1`/`__g2` match structs (each pattern matched once). Split from
+    * `extract` so the REPLACE-dedup shuffle can run between them and carry
+    * only flat narrow columns — field extraction happens once per SURVIVING
+    * row, after dedup (the pipeline drops `matchCols` before the shuffle).
     */
   def classify(df: DataFrame): DataFrame = {
     val t = col("text")
     val looksStructured = t.startsWith("CALL") || t.startsWith("RESULT")
+    // Routing-metadata completeness is part of well-formedness, but only
+    // when the caller's frame carries the metadata columns (text-only frames
+    // in specs classify on text alone).
+    val metaOk: Column =
+      if (Seq("role", "ts").forall(df.columns.contains))
+        col("role").isNotNull && col("role") =!= "" && col("ts").isNotNull
+      else lit(true)
     // P3 acceptance is an EXPLICIT rule, not a regex: non-structured,
     // non-empty, single-line. Java's `$` matches before a trailing newline
-    // while RE2's does not, so `rlike(P3.regex)` could never be mirrored
-    // exactly by a DuckDB oracle — `contains \n` is engine-neutral and is
-    // restated verbatim in SparkEntry.duckOk (ADVICE r2).
-    df.withColumn("pattern_id",
-      when(t.rlike(P1.regex), lit(1))
-        .when(t.rlike(P2.regex), lit(2))
-        .when(!looksStructured && length(t) > 0 && !t.contains("\n"), lit(3))
-        .otherwise(lit(0)))
+    // while RE2's does not, so a P3 regex could never be mirrored exactly by
+    // a DuckDB oracle — `contains \n` is engine-neutral and is restated
+    // verbatim in SparkEntry.duckOk (ADVICE r2).
+    df.withColumn(G1, grok(t, P1))
+      .withColumn(G2, grok(t, P2))
+      .withColumn("pattern_id",
+        when(!metaOk, lit(0))
+          .when(col(G1).isNotNull, lit(1))
+          .when(col(G2).isNotNull, lit(2))
+          .when(!looksStructured && length(t) > 0 && !t.contains("\n"), lit(3))
+          .otherwise(lit(0)))
   }
 
   /** Field extraction for classified rows: called_tool, dur_ms int, status,
     * bytes long, attrs map<string,string> (alco `js` analog), and `day`
-    * (UTC event-time day, the shard-routing key — alco D4).
+    * (UTC event-time day, the shard-routing key — alco D4). Reuses the
+    * classify match structs when present (fused query-surface shape);
+    * recomputes them once otherwise (post-dedup pipeline shape). Drops the
+    * internal structs either way.
     */
   def extract(df: DataFrame): DataFrame = {
     val t = col("text")
-    df.withColumn("called_tool",
-        when(col("pattern_id") === 1, ext(t, P1, "called_tool")))
+    val withG = Seq(G1 -> P1, G2 -> P2).foldLeft(df) { case (d, (g, p)) =>
+      if (d.columns.contains(g)) d else d.withColumn(g, grok(t, p))
+    }
+    def g1(field: String): Column = col(s"$G1.$field")
+    def g2(field: String): Column = col(s"$G2.$field")
+    withG
+      .withColumn("called_tool",
+        when(col("pattern_id") === 1, g1("called_tool")))
       .withColumn("dur_ms",
-        when(col("pattern_id") === 1, ext(t, P1, "dur_ms").cast(IntegerType)))
+        when(col("pattern_id") === 1, g1("dur_ms").cast(IntegerType)))
       .withColumn("status",
-        when(col("pattern_id") === 2, ext(t, P2, "status")))
+        when(col("pattern_id") === 2, g2("status")))
       .withColumn("bytes",
-        when(col("pattern_id") === 2, ext(t, P2, "bytes").cast(LongType)))
+        when(col("pattern_id") === 2, g2("bytes").cast(LongType)))
       .withColumn("attrs",
-        when(col("pattern_id") === 1, flatJsonToMap(ext(t, P1, "args_json")))
+        when(col("pattern_id") === 1, flatJsonToMap(g1("args_json")))
           .when(col("pattern_id") === 2,
-            map(lit("msg"), ext(t, P2, "msg")))
+            map(lit("msg"), g2("msg")))
           .otherwise(map().cast(attrsType)))
       .withColumn("day", to_date(col("ts")))
+      .drop(matchCols: _*)
   }
 
-  /** classify + extract in one projection (the single-pass shape used by
-    * the query surface and streaming; the batch pipeline interleaves the
-    * dedup shuffle between the two).
+  /** classify + extract in one projection chain (the single-pass shape used
+    * by the query surface and streaming; the batch pipeline interleaves the
+    * dedup shuffle between the two). The match structs flow from classify
+    * straight into extract, so each pattern is matched exactly once per row.
     */
   def stage(df: DataFrame): DataFrame = extract(classify(df))
 

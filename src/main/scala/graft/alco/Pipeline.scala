@@ -141,17 +141,22 @@ object Pipeline {
     val committedFileSet = prior.map(_.files.toSet).getOrElse(Set.empty)
     cleanupOrphans(spark, routedPath, committedFileSet)
 
-    // Classify (cheap: pattern dispatch only) BEFORE the dedup shuffle —
+    // Classify (cheap: one match per pattern) BEFORE the dedup shuffle —
     // alco parses before storing, so a malformed duplicate never replaces a
-    // valid row. Field extraction + enrich joins run AFTER dedup: the
-    // shuffle carries only flat narrow columns, and the per-row regex-group/
-    // enrich work happens once per SURVIVING row.
+    // valid row. classify also quarantines rows with null/empty role or null
+    // ts (ADVICE r3: they would partition to __HIVE_DEFAULT_PARTITION__
+    // while the manifest names the coalesced key, and orphan cleanup would
+    // delete their committed files). Field extraction + enrich joins run
+    // AFTER dedup: the match structs are dropped here so the shuffle carries
+    // only flat narrow columns, and the per-row regex-group/enrich work
+    // happens once per SURVIVING row.
     val obs = new Observation(s"pipeline_batch_$batchId")
     val classified = Parse.classify(turns).observe(obs,
       count(lit(1)).as("input_rows"),
       count(when(col("pattern_id") === 0, 1)).as("quarantined_rows"))
     val (ok, quarantine) = Parse.splitQuarantine(classified)
-    val deduped = Route.replaceSemantics(Route.stage(cfg.saltBuckets)(ok))
+    val deduped = Route.replaceSemantics(
+      Route.stage(cfg.saltBuckets)(ok.drop(Parse.matchCols: _*)))
     val routed0 = Enrich.stage(spark)(Parse.extract(deduped)) // seq/salt survive dedup
 
     // Directory partitioning cannot represent the empty-string tool (it

@@ -53,6 +53,40 @@ class PlanSpec extends SparkSpec {
       s"every parse Project must be codegen'd:\n$p")
   }
 
+  test("fused flagship parse plan COMPILES — no silent interpreted fallback") {
+    // Round 3's failure mode: planning succeeded, the plan string showed
+    // `*(n)` codegen markers, but Janino compilation failed at RUNTIME
+    // ("Code grows beyond 64 KB") and the flagship plans executed
+    // interpreted. The shared test session sets spark.sql.codegen.fallback
+    // =false, so executing the exact round-3 failing fusion — Project of
+    // classify+extract+enrich+seq+salt over two BroadcastHashJoins — now
+    // throws if the generated method ever regresses past the JVM limit.
+    val fused = Route.stage(16)(
+      graft.alco.Enrich.stage(spark)(
+        Parse.splitQuarantine(Parse.stage(Gen.turns(spark, 2000L).toDF()))._1))
+    assert(fused.count() > 0)
+  }
+
+  test("codegen blowup is loud under the suite's no-fallback conf") {
+    // Round 3's exact failure, deliberately reintroduced: WITHOUT the
+    // generator's text pushdown barrier, the quarantine filter is pushed
+    // through the generator projections, substituting the giant text CASE
+    // into the classify predicate many times — the fused stage's generated
+    // method blows Janino's 64 KB limit. This MUST fail loudly: if it ever
+    // passes, either the no-fallback guard has been lost (blowups go silent
+    // again) or the optimizer stopped exploding this shape (and the barrier
+    // could be retired). Both are worth knowing (round-3 verdict task 3).
+    val raw = Gen.turns(spark, 2000L, textBarrier = false).toDF()
+    val fused = Route.stage(16)(
+      graft.alco.Enrich.stage(spark)(
+        Parse.splitQuarantine(Parse.stage(raw))._1))
+    val e = intercept[Throwable](fused.count())
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("64 KB") || msgs.toLowerCase.contains("compil"),
+      s"expected a codegen compile failure, got: $msgs")
+  }
+
   test("ANN top-k plans have no Window — bounded TopKRows hash agg instead") {
     Seq("q24_ann_brute", "q25_ann_lsh").foreach { q =>
       val p = plan(SparkEntry.queries(q)(spark, dir))

@@ -13,6 +13,12 @@ object TestSpark {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Codegen compile failure is a TEST FAILURE, never a silent
+      // interpreted fallback: round 3's fused parse plan blew Janino's
+      // 64 KB method limit at runtime while every plan-string assertion
+      // stayed green (verdict r3, "what's wrong #1"). Production sessions
+      // keep the default resilient fallback; the suite must not.
+      .config("spark.sql.codegen.fallback", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -94,6 +94,30 @@ class ParseSpec extends SparkSpec {
     assert(pid == 3)
   }
 
+  test("missing routing metadata quarantines: null/empty role, null ts") {
+    // ADVICE r3 (medium): a null role/ts row reaching the partitioned write
+    // lands in __HIVE_DEFAULT_PARTITION__ while the manifest names the
+    // coalesced key — the next run's orphan cleanup would delete committed
+    // data. classify must route such rows to quarantine instead.
+    val good = row("fine free text", role = "user", tool = "")
+    val got = parse(
+      good,
+      good.copy(role = null),
+      good.copy(role = ""),
+      good.copy(ts = null),
+      row("""CALL bash args={} dur_ms=5""").copy(role = null)).map(_._1).toSeq
+    assert(got == Seq(3, 0, 0, 0, 0),
+      s"null/empty role or null ts must quarantine even for valid text: $got")
+  }
+
+  test("text-only frames classify on text alone (metadata rule needs the columns)") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq("free text", "CALL  args= dur_ms=oops").toDF("text")
+    val pids = Parse.classify(df).select(col("text"), col("pattern_id"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(pids("free text") == 3 && pids("CALL  args= dur_ms=oops") == 0)
+  }
+
   test("day column is the UTC event-time date") {
     val d = Parse.stage(Seq(row("x", role = "user")).toDF())
       .select($"day".cast("string")).as[String].head()

@@ -80,6 +80,44 @@ class ExprSpec extends SparkSpec {
     assert(got(0).distinct.length > 1)
   }
 
+  test("grok_match: one-pass struct equals the rlike + regexp_extract pile") {
+    import graft.alco.Parse
+    val texts = Seq(
+      """CALL bash args={"cmd":"op_1","n":"3"} dur_ms=57""",
+      "RESULT status=ok bytes=1024 msg=done step 3 of run",
+      "free text that matches neither",
+      "",
+      null.asInstanceOf[String])
+    val df = texts.map(Tuple1(_)).toDF("text")
+    val p = Parse.P1
+    val got = df.select(
+      GrokMatch.grok_match($"text", p.regex, p.fields).as("g")).collect()
+    // reference: the expression pile grok_match replaces
+    val ref = df.select(
+      $"text".rlike(p.regex).as("m"),
+      regexp_extract($"text", p.regex, p.groupOf("called_tool")).as("ct"),
+      regexp_extract($"text", p.regex, p.groupOf("args_json")).as("aj"),
+      regexp_extract($"text", p.regex, p.groupOf("dur_ms")).as("dm")).collect()
+    got.zip(ref).zipWithIndex.foreach { case ((g, r), i) =>
+      if (r.isNullAt(0)) assert(g.isNullAt(0), s"row $i: null in → null out")
+      else if (!r.getBoolean(0)) assert(g.isNullAt(0), s"row $i: no match → null struct")
+      else {
+        val s = g.getStruct(0)
+        assert(s.getAs[String]("called_tool") == r.getString(1), s"row $i ct")
+        assert(s.getAs[String]("args_json") == r.getString(2), s"row $i aj")
+        assert(s.getAs[String]("dur_ms") == r.getString(3), s"row $i dm")
+      }
+    }
+    // interpreted path agrees with codegen
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = df.select(
+        GrokMatch.grok_match($"text", p.regex, p.fields).as("g")).collect()
+      assert(interp.map(r => if (r.isNullAt(0)) null else r.getStruct(0).toString).toSeq
+        == got.map(r => if (r.isNullAt(0)) null else r.getStruct(0).toString).toSeq)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("type check rejects non-array input") {
     val e = intercept[Exception] {
       Seq(1).toDF("x").select(GraftFunctions.simhash64($"x")).collect()
