@@ -11,6 +11,22 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// SPARK_LOCAL_DIRS in the environment OVERRIDES spark.local.dir in local
+// mode (SparkConf warns about exactly this). If the parent process exports
+// it pointing at the shared virtio disk, every forked run's shuffle/spill
+// serializes on one device queue and the N-vs-4N scaling measurement
+// measures the DISK, not the pipeline. Pin forked JVMs to tmpfs — the
+// sandbox analog of per-executor local disks (BASELINE.md protocol).
+lazy val tmpfsLocalDirs: Map[String, String] = {
+  val shm = new java.io.File("/dev/shm")
+  if (shm.isDirectory && shm.canWrite) {
+    val d = new java.io.File(shm, "graft_spark_local")
+    d.mkdirs()
+    Map("SPARK_LOCAL_DIRS" -> d.getAbsolutePath)
+  } else Map.empty
+}
+run / envVars ++= tmpfsLocalDirs
+Test / envVars ++= tmpfsLocalDirs
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

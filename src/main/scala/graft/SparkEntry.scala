@@ -404,6 +404,26 @@ object SparkEntry {
         .groupBy(col("kind"), col("payload").isNull.as("corrupt"))
         .agg(count(lit(1)).as("n"), sum(length(col("payload"))).as("bytes"))),
 
+    // ── O34 end-to-end: REPLACE last-write-wins against a redelivered
+    // duplicate set — the tie-breaking tail of Route.replaceSemantics was
+    // spec-only until round 4; this plants same-key later-ts duplicates
+    // (deterministically, so DuckDB replays them) and hash-checks the
+    // surviving rows against a row_number oracle ──
+    "q50_replace_lww" -> ((s, dir) => {
+      val base = Gen.turns(s, 20000L).toDF()
+      val ok = Parse.splitQuarantine(Parse.classify(base))._1
+        .drop(Parse.matchCols: _*)
+      // redeliver 1/3 of the free-text rows an hour later with a changed
+      // payload; P3-class only so the copy stays in the same pattern class
+      val dup = ok.filter(col("pattern_id") === 3 &&
+          pmod(col("turn_idx"), lit(3)) === 0)
+        .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+        .withColumn("text", concat(col("text"), lit(" redelivered")))
+      Route.replaceSemantics(Route.stage(16)(ok.unionByName(dup)))
+        .select(col("conv_id"), col("turn_idx"), col("text"),
+          unix_timestamp(col("ts")).as("epoch_s"))
+    }),
+
     // ── O22 scale path: HLL++ approximate distinct — the bounded-state
     // companion to q12's exact countDistinct (exact distinct state is
     // unbounded at 10^12 rows; HLL is ~KB per group at any scale).
@@ -529,6 +549,11 @@ object SparkEntry {
     "q46_dedup_clusters" ->
       """WITH RECURSIVE t AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '\w+')) AS toks FROM documents), p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM t a, t b WHERE a.doc_id % 7 = 0 AND a.doc_id < b.doc_id AND round(CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) = 0 THEN 0.0 ELSE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(list_distinct(list_concat(a.toks, b.toks))) END, 6) >= 0.5), edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p), reach(src, dst) AS (SELECT a, b FROM edges UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a) SELECT src AS id, least(src, min(dst)) AS component FROM reach GROUP BY src""",
     "q47_hash_sample" ->
-      """SELECT event_id, event_type FROM events WHERE CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 20 = 0"""
+      """SELECT event_id, event_type FROM events WHERE CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 20 = 0""",
+    // REPLACE last-write-wins replay: same classify gate, the same
+    // deterministic redelivery rule (pattern_id=3 ⟺ ok AND not structured,
+    // since P1/P2 are ^CALL/^RESULT-anchored), latest ts wins per key.
+    "q50_replace_lww" ->
+      s"""WITH t AS (SELECT conv_id, turn_idx, text, ts FROM $trTable WHERE $duckOk), d AS (SELECT conv_id, turn_idx, text || ' redelivered' AS text, ts + INTERVAL 1 HOUR AS ts FROM $trTable WHERE $duckOk AND NOT (starts_with(text, 'CALL') OR starts_with(text, 'RESULT')) AND turn_idx % 3 = 0), a AS (SELECT * FROM t UNION ALL SELECT * FROM d) SELECT conv_id, turn_idx, text, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY ts DESC) AS rn FROM a) x WHERE rn = 1"""
   )
 }

@@ -37,15 +37,29 @@ object Verify {
       val t0 = System.nanoTime()
       worker.start()
       worker.join(budgetSec * 1000)
+      // A failed/timed-out query must not leave a partial parquet dir (or
+      // _temporary debris) where the driver's compare step could read it as
+      // a (garbage) result — and an un-interruptible worker may still be
+      // appending to it (ADVICE r3, low). Best-effort delete.
+      def scrub(): Unit = try {
+        val dir = java.nio.file.Paths.get(s"$outDir/$name")
+        if (java.nio.file.Files.exists(dir))
+          java.nio.file.Files.walk(dir)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => { try java.nio.file.Files.deleteIfExists(p)
+              catch { case _: Exception => } })
+      } catch { case _: Exception => }
       if (worker.isAlive) {
         spark.sparkContext.cancelJobGroup(name)
         worker.interrupt()
         worker.join(10000) // brief grace for the cancel to unwind
         System.err.println(s"[verify] $name TIMED OUT after ${budgetSec}s — skipped")
+        scrub()
         bad += name
       } else err match {
         case Some(e) =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          scrub()
           bad += name
         case None =>
           val sec = (System.nanoTime() - t0) / 1e9

@@ -183,11 +183,20 @@ object Manifest {
     def arr(name: String): Seq[com.fasterxml.jackson.databind.JsonNode] =
       Option(root.get(name)).map(_.asInstanceOf[ArrayNode].asScala.toSeq)
         .getOrElse(Seq.empty)
+    // Pre-rename snapshots (≤ round 2) carried unscoped batch ids under
+    // `committed_batch_ids`; without this fallback every previously
+    // committed batch would lose its idempotency marker and a redelivery
+    // would REPROCESS instead of no-op (ADVICE r3, low). The default
+    // writerId was "" back then, so the scoped key is reconstructible.
+    val batchKeys = Option(root.get("committed_batch_keys")) match {
+      case Some(_) => arr("committed_batch_keys").map(_.asText())
+      case None => arr("committed_batch_ids").map(n => batchKey("", n.asLong()))
+    }
     Snapshot(
       root.get("snapshot_id").asLong(),
       root.get("parent_id").asLong(),
       root.get("batch_id").asLong(),
-      arr("committed_batch_keys").map(_.asText()),
+      batchKeys,
       arr("committed_partitions").map(_.asText()),
       arr("stats").map(n => PartitionStat(
         n.get("partition").asText(), n.get("row_count").asLong())),

@@ -169,6 +169,8 @@ object Pipeline {
       when(col("tool").isNull || col("tool") === "", lit("_none"))
         .otherwise(col("tool")))
 
+    val setupMs = ms(t0) // manifest read + orphan sweep + plan build
+
     // Rollup counts + distinct sets + lineage ride the write: one KeyedRollup
     // metric keyed by (tool, role, UTC day) with the filtered columns' values
     // as the distinct slots. No second pass over the data, ever.
@@ -257,7 +259,7 @@ object Pipeline {
       Manifest.PartitionStat(p, mergedCounts.getOrElse(p, contributed))
     }
     val routedRows = contribs.map(_.n).sum
-    val aggMs = ms(tAgg)
+    val aggMs = ms(tAgg) // metric parse + overlap merge + file-set derivation
 
     // observe() metrics ride the write pass for free; a degenerate zero-task
     // plan falls back to counting.
@@ -270,6 +272,7 @@ object Pipeline {
     // COMMIT POINT: atomic manifest rename. Crash before → this batch's
     // files are orphans, cleaned next run. Crash after → batch is committed,
     // rerun short-circuits on batchId.
+    val tCommit = System.nanoTime()
     val snap = Manifest.commit(routedPath, batchId, stats,
       carried ++ newFiles, ms(t0), writerId)
 
@@ -277,7 +280,9 @@ object Pipeline {
     // here just leaves orphans for the next run's cleanup).
     if (overlap.nonEmpty)
       cleanupOrphans(spark, routedPath, snap.files.toSet)
+    val commitMs = ms(tCommit)
 
+    val tOutputs = System.nanoTime()
     writeBatchOutputs(spark, outRoot, batchId, contribs, distinctCols)
 
     import spark.implicits._
@@ -285,12 +290,20 @@ object Pipeline {
       (snap.snapshotId, batchId, c.partition, c.n, ms(t0)))
       .toDF("snapshot_id", "batch_id", "partition", "row_count", "wall_ms")
     audit.write.mode(SaveMode.Append).parquet(s"$outRoot/audit")
+    val outputsMs = ms(tOutputs)
 
     Result(batchId, snap.snapshotId, inputRows, routedRows, quarantined,
       skippedCommitted = committedParts.size.toLong,
       mergedPartitions = overlap.size.toLong,
-      stageTimings = Map("write_ms" -> writeMs, "agg_ms" -> aggMs,
-        "total_ms" -> ms(t0)))
+      // per-stage wall clocks, published per bench leg so a degraded run is
+      // attributable: setup = manifest+orphan sweep (driver metadata),
+      // write = THE data job (read→classify→dedup→extract→enrich→fan-out
+      // write), agg = metric parse + overlap merge, commit = snapshot
+      // rename + vacuum (driver fs), outputs = rollup/distinct/audit writes
+      // (three tiny driver-local jobs).
+      stageTimings = Map("setup_ms" -> setupMs, "write_ms" -> writeMs,
+        "agg_ms" -> aggMs, "commit_ms" -> commitMs,
+        "outputs_ms" -> outputsMs, "total_ms" -> ms(t0)))
   }
 
   /** Per-batch rollup + distinct-set tables (alco's Redis counters/SADD

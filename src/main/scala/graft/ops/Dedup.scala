@@ -237,6 +237,15 @@ object Dedup {
         "left_anti").isEmpty
       labels = next
     }
+    // Exiting via the iteration cap means some chain-shaped cluster has
+    // diameter > maxIter and the labels are WRONG (not yet the component
+    // minimum). Returning them silently would fail an exact-closure oracle
+    // with no diagnostic (ADVICE r3, low) — fail loudly instead; callers
+    // with genuinely deep graphs raise maxIter (rounds = diameter).
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "a cluster's diameter exceeds maxIter; raise it for chain-shaped graphs")
     labels.select(col("id"), col("lbl").as("component"))
   }
 

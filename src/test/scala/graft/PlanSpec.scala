@@ -121,6 +121,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("multimodal resize is a single pass — no Exchange, no Join") {
+    // Round 3 re-attached resized payloads via a self-join on media_id:
+    // the whole table shuffled twice. One mapPartitions carrying all
+    // columns does it shuffle-free (the dominant cost at binary-payload
+    // scale is moving the bytes, and they must not move at all).
+    val p = plan(graft.ops.Multimodal.resize(
+      graft.ops.Multimodal.syntheticMedia(spark, 100), 128, 128))
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"resize must not shuffle or join:\n$p")
+  }
+
   test("q46 cluster closure plans no cartesian product") {
     val p = plan(SparkEntry.queries("q46_dedup_clusters")(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),

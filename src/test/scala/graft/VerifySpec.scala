@@ -38,6 +38,11 @@ class VerifySpec extends SparkSpec {
     assert(bad.toSet == Set("b_hang", "c_throws"))
     assert(Files.exists(Paths.get(s"$out/a_good")) &&
       Files.exists(Paths.get(s"$out/d_also_good")))
+    // failed/timed-out dumps are scrubbed — the driver compare must never
+    // read a partial parquet dir as a (garbage) result (ADVICE r3)
+    assert(!Files.exists(Paths.get(s"$out/b_hang")) &&
+      !Files.exists(Paths.get(s"$out/c_throws")),
+      "bad-query dump dirs must be deleted")
     // the hang cost ~budget, not the 128 s the job would have taken
     assert(wallSec < 60, s"watchdog must bound the loop (took $wallSec s)")
     // the json survived the whole episode and is valid for the driver
