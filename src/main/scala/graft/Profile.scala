@@ -18,9 +18,19 @@ object Profile {
       .orElse(Option("/dev/shm").filter(d => java.nio.file.Files.isWritable(
         java.nio.file.Paths.get(d))))
       .getOrElse(System.getProperty("java.io.tmpdir"))
+    // Stale graft_profile* working sets are leaked tmpfs pages (host RAM) —
+    // sweep them before creating this run's dir (same policy as Bench).
+    val baseDir = new java.io.File(workBase)
+    Option(baseDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_profile"))
+      .foreach(f => org.apache.commons.io.FileUtils.deleteQuietly(f))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.local.dir", s"$workBase/graft_spark_local")
+      // shuffle/spill block codec experiment knob (SparkConf-level, so it
+      // must be set before the context starts): lz4 (default) | snappy | zstd
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
       .config("spark.sql.shuffle.partitions", math.max(cpus * 4, 16).toString) // 4× cores, floor 16 (match Bench)
     .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", (32 * 1024 * 1024).toString)
       .config("spark.sql.adaptive.enabled",
@@ -83,53 +93,110 @@ object Profile {
       spark.stop(); return
     }
 
-    timed("read_only")(noop(turns))
+    val skipPrefix = sys.env.get("SKIP_PREFIX").nonEmpty
+    if (!skipPrefix) timed("read_only")(noop(turns))
     val classify = (d: DataFrame) => Parse.classify(d)
     val okOf = (d: DataFrame) => Parse.splitQuarantine(Parse.classify(d))._1
-    timed("s1_classify")(noop(classify(turns)))
-    timed("s2_plus_dedup")(noop(
+    if (!skipPrefix) timed("s1_classify")(noop(classify(turns)))
+    if (!skipPrefix) timed("s2_plus_dedup")(noop(
       Route.replaceSemantics(Route.stage(64)(okOf(turns)))))
     val routedOf = (d: DataFrame) =>
       Enrich.stage(spark)(Parse.extract(
         Route.replaceSemantics(Route.stage(64)(okOf(d)))))
         .withColumn("tool_key",
           when(col("tool") === "", lit("_none")).otherwise(col("tool")))
-    timed("s3_plus_extract_enrich")(noop(routedOf(turns)))
-    timed("s4_plus_write") {
+    if (!skipPrefix) timed("s3_plus_extract_enrich")(noop(routedOf(turns)))
+    if (!skipPrefix) timed("s4_plus_write") {
       routedOf(turns)
         .select(Pipeline.routedColumns.map(col) :+ col("tool_key"): _*)
         .sortWithinPartitions("tool_key", "role", "day", "conv_id", "turn_idx")
         .write.mode("overwrite").option("maxRecordsPerFile", 2000000)
+        .option("compression", "zstd") // mirror Pipeline.Config defaults
+        .option("parquet.bloom.filter.enabled#conv_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#conv_id", "100000")
         .partitionBy("tool_key", "role", "day").parquet(s"$work/routed")
     }
-    timed("s5_readback_aggs") {
+    if (!skipPrefix) timed("s5_readback_aggs") {
       val back = spark.read.parquet(s"$work/routed")
       graft.alco.Agg.rollupCounts(back).collect()
       noop(graft.alco.Agg.distinctSets(back))
     }
-    timed("full_pipeline_run") {
+    if (!skipPrefix) timed("full_pipeline_run") {
       Pipeline.run(spark, turns, s"$work/full", batchId = 9L)
     }
 
     // isolation experiments for the write path (EXPERIMENTS=1)
-    if (sys.env.get("EXPERIMENTS").isEmpty) { spark.stop(); return }
-    val deduped = Route.replaceSemantics(Route.stage(64)(Enrich.stage(spark)(okOf(turns))))
-      .withColumn("tool_key",
-        when(col("tool") === "", lit("_none")).otherwise(col("tool")))
-    println(s"PROFILE dedup_out_partitions ${deduped.rdd.getNumPartitions}")
-    timed("write_plain_nopartition") {
-      deduped.drop("salt").write.mode("overwrite").parquet(s"$work/plain")
+    if (sys.env.get("EXPERIMENTS").isEmpty) { cleanup(work); spark.stop(); return }
+    // Same projection the pipeline writes (routedOf includes Parse.extract's
+    // `day`; the earlier experiments build skipped extract and crashed on
+    // partitionBy("day")). Cache it so each write variant times ONLY the
+    // write, not a pipeline re-run.
+    val deduped = routedOf(turns)
+      .select(Pipeline.routedColumns.map(col) :+ col("tool_key"): _*)
+      .cache()
+    println(s"PROFILE dedup_out_rows ${deduped.count()}")
+    if (sys.env.get("BLOOM_ONLY").isEmpty) {
+      timed("write_plain_nopartition") {
+        deduped.write.mode("overwrite").parquet(s"$work/plain")
+      }
+      timed("write_partitioned_nosort") {
+        deduped.write.mode("overwrite")
+          .partitionBy("tool_key", "role", "day").parquet(s"$work/nosort")
+      }
     }
-    timed("write_partitioned_nosort") {
-      deduped.drop("salt").write.mode("overwrite")
-        .partitionBy("tool_key", "role", "day").parquet(s"$work/nosort")
-    }
-    timed("write_partitioned_sorted") {
-      deduped.drop("salt")
+    def sortedWrite(name: String)(opts: (String, String)*): Unit = timed(name) {
+      val w = deduped
         .sortWithinPartitions("tool_key", "role", "day", "conv_id", "turn_idx")
-        .write.mode("overwrite")
-        .partitionBy("tool_key", "role", "day").parquet(s"$work/sorted")
+        .write.mode("overwrite").option("maxRecordsPerFile", 2000000)
+      opts.foreach { case (k, v) => w.option(k, v) }
+      w.partitionBy("tool_key", "role", "day").parquet(s"$work/sorted")
+      println(f"PROFILE   bytes_${name.stripPrefix("write_sorted_")}%-20s " +
+        f"${dirBytes(s"$work/sorted") / 1e6}%10.1f MB")
     }
+    // Untimed warm-up write first (JIT/codegen for the writer path), then
+    // the variants — order REVERSED vs the first measurement session so an
+    // order-dependent drift shows up as disagreement between the two runs.
+    deduped.limit(500000)
+      .sortWithinPartitions("tool_key", "role", "day", "conv_id", "turn_idx")
+      .write.mode("overwrite").partitionBy("tool_key", "role", "day")
+      .parquet(s"$work/warmwrite")
+    val variants: Seq[(String, Seq[(String, String)])] =
+      if (sys.env.get("BLOOM_ONLY").nonEmpty) Seq(
+        "write_sorted_zstd" -> Seq("compression" -> "zstd"),
+        "write_sorted_zstd_bloom" -> Seq("compression" -> "zstd",
+          "parquet.bloom.filter.enabled#conv_id" -> "true"),
+        // explicit NDV hint: parquet-java's ADAPTIVE bloom writer maintains
+        // multiple candidate bitsets per row group until it learns the NDV —
+        // the hint collapses that to one right-sized bitset up front.
+        "write_sorted_zstd_bloom_ndv" -> Seq("compression" -> "zstd",
+          "parquet.bloom.filter.enabled#conv_id" -> "true",
+          "parquet.bloom.filter.expected.ndv#conv_id" -> "100000"),
+        "write_sorted_zstd_rep2" -> Seq("compression" -> "zstd"))
+      else Seq(
+        "write_sorted_none" -> Seq("compression" -> "uncompressed"),
+        "write_sorted_zstd" -> Seq("compression" -> "zstd"),
+        "write_sorted_lz4" -> Seq("compression" -> "lz4_raw"),
+        "write_sorted_snappy" -> Seq.empty,
+        "write_sorted_snappy_bloom" -> Seq(
+          "parquet.bloom.filter.enabled#conv_id" -> "true"),
+        "write_sorted_zstd_bloom" -> Seq("compression" -> "zstd",
+          "parquet.bloom.filter.enabled#conv_id" -> "true"),
+        "write_sorted_none_rep2" -> Seq("compression" -> "uncompressed"))
+    variants.foreach { case (n, o) => sortedWrite(n)(o: _*) }
+    cleanup(work)
     spark.stop()
   }
+
+  private def dirBytes(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+      else f.length()
+    walk(new java.io.File(path))
+  }
+
+  /** Delete this run's working set unless it doubles as generated input the
+    * caller may want to inspect (KEEP_WORK=1). tmpfs pages are host RAM. */
+  private def cleanup(work: String): Unit =
+    if (sys.env.get("KEEP_WORK").isEmpty)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
 }

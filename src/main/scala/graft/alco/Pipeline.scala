@@ -51,6 +51,17 @@ object Pipeline {
   final case class Config(
       saltBuckets: Int = 64,
       maxRecordsPerFile: Long = 2L * 1000 * 1000,
+      // zstd: encode speed ≈ lz4_raw on this profile (warmed A/B, Profile
+      // EXPERIMENTS, BASELINE.md round-4 table) with ~30% smaller files than
+      // snappy/lz4 (75.6 vs 105.8 MB per 4M rows) — at the 100 TB design
+      // point the storage + downstream-scan savings dominate everything.
+      parquetCodec: String = "zstd",
+      // Right-size the conv_id bloom filter: without an NDV hint parquet's
+      // AdaptiveBlockSplitBloomFilter keeps several candidate bitsets alive
+      // per open row group until it learns the cardinality — expensive with
+      // 32 concurrent dynamic-partition writers. ~50 turns/conv ⇒ ~100k
+      // distinct conv_ids per 2M-row file is the right order.
+      bloomNdv: Long = 100000,
       columnRoles: Seq[ColumnRole] = defaultRoles) {
     /** alco LoggerColumn.filtered analog → distinct-value rollup columns. */
     def distinctColumns: Seq[String] =
@@ -202,9 +213,11 @@ object Pipeline {
       .write
       .mode(SaveMode.Append)
       .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
+      .option("compression", cfg.parquetCodec)
       // point lookups (grep context view) seek by conv_id — bloom filters
       // skip row groups without touching dictionary pages.
       .option("parquet.bloom.filter.enabled#conv_id", "true")
+      .option("parquet.bloom.filter.expected.ndv#conv_id", cfg.bloomNdv.toString)
       .partitionBy("tool_key", "role", "day")
       .parquet(routedPath)
     val writeMs = ms(tWrite)
@@ -359,7 +372,9 @@ object Pipeline {
       .sortWithinPartitions("tool_key", "role", "day", "conv_id", "turn_idx")
       .write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
+      .option("compression", cfg.parquetCodec)
       .option("parquet.bloom.filter.enabled#conv_id", "true")
+      .option("parquet.bloom.filter.expected.ndv#conv_id", cfg.bloomNdv.toString)
       .partitionBy("tool_key", "role", "day")
       .parquet(mergeTmp)
 
