@@ -135,7 +135,7 @@ object Profile {
       .select(Pipeline.routedColumns.map(col) :+ col("tool_key"): _*)
       .cache()
     println(s"PROFILE dedup_out_rows ${deduped.count()}")
-    if (sys.env.get("BLOOM_ONLY").isEmpty) {
+    if (Seq("BLOOM_ONLY", "TUNE_ONLY", "ZSTD_AB").forall(sys.env.get(_).isEmpty)) {
       timed("write_plain_nopartition") {
         deduped.write.mode("overwrite").parquet(s"$work/plain")
       }
@@ -160,8 +160,47 @@ object Profile {
       .sortWithinPartitions("tool_key", "role", "day", "conv_id", "turn_idx")
       .write.mode("overwrite").partitionBy("tool_key", "role", "day")
       .parquet(s"$work/warmwrite")
+    val zstdPair: Seq[(String, Seq[(String, String)])] = Seq(
+      "write_sorted_zstd3" -> Seq("compression" -> "zstd",
+        "parquet.bloom.filter.enabled#conv_id" -> "true",
+        "parquet.bloom.filter.expected.ndv#conv_id" -> "100000"),
+      "write_sorted_zstd1" -> Seq("compression" -> "zstd",
+        "parquet.compression.codec.zstd.level" -> "1",
+        "parquet.bloom.filter.enabled#conv_id" -> "true",
+        "parquet.bloom.filter.expected.ndv#conv_id" -> "100000"))
     val variants: Seq[(String, Seq[(String, String)])] =
-      if (sys.env.get("BLOOM_ONLY").nonEmpty) Seq(
+      // interleaved A/B pairs (bench protocol): a host noise wave degrades
+      // BOTH legs of a pair, so the within-pair ratio survives it
+      if (sys.env.get("ZSTD_AB").nonEmpty)
+        (1 to 3).flatMap(i => zstdPair.map { case (n, o) => (s"${n}_p$i", o) })
+      else if (sys.env.get("TUNE_ONLY").nonEmpty) Seq(
+        // all carry the pipeline's bloom options so deltas are vs shipped shape
+        "write_sorted_zstd3" -> Seq("compression" -> "zstd",
+          "parquet.bloom.filter.enabled#conv_id" -> "true",
+          "parquet.bloom.filter.expected.ndv#conv_id" -> "100000"),
+        // zstd level 1: parquet-java default level is 3
+        "write_sorted_zstd1" -> Seq("compression" -> "zstd",
+          "parquet.compression.codec.zstd.level" -> "1",
+          "parquet.bloom.filter.enabled#conv_id" -> "true",
+          "parquet.bloom.filter.expected.ndv#conv_id" -> "100000"),
+        // dictionary off for the high-cardinality text column: the writer
+        // otherwise builds a dict per page and throws it away at the
+        // fallback threshold
+        "write_sorted_zstd3_nodict" -> Seq("compression" -> "zstd",
+          "parquet.enable.dictionary#text" -> "false",
+          "parquet.enable.dictionary#attrs" -> "false",
+          "parquet.bloom.filter.enabled#conv_id" -> "true",
+          "parquet.bloom.filter.expected.ndv#conv_id" -> "100000"),
+        "write_sorted_zstd1_nodict" -> Seq("compression" -> "zstd",
+          "parquet.compression.codec.zstd.level" -> "1",
+          "parquet.enable.dictionary#text" -> "false",
+          "parquet.enable.dictionary#attrs" -> "false",
+          "parquet.bloom.filter.enabled#conv_id" -> "true",
+          "parquet.bloom.filter.expected.ndv#conv_id" -> "100000"),
+        "write_sorted_zstd3_rep2" -> Seq("compression" -> "zstd",
+          "parquet.bloom.filter.enabled#conv_id" -> "true",
+          "parquet.bloom.filter.expected.ndv#conv_id" -> "100000"))
+      else if (sys.env.get("BLOOM_ONLY").nonEmpty) Seq(
         "write_sorted_zstd" -> Seq("compression" -> "zstd"),
         "write_sorted_zstd_bloom" -> Seq("compression" -> "zstd",
           "parquet.bloom.filter.enabled#conv_id" -> "true"),

@@ -431,7 +431,26 @@ object SparkEntry {
     // vs exact is asserted in a spec ──
     "q49_approx_distinct" -> ((s, dir) =>
       t(s, dir, "events").groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("nd_approx")))
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("nd_approx"))),
+
+    // ── training-data curation: PII scrub over the planted-PII generator
+    // table (the sf* documents are word-salad — zero emails/digits — so the
+    // operator needs its own deterministic fixture; same dump-and-oracle
+    // contract as q33) ──
+    "q51_pii_redact" -> ((s, dir) =>
+      TextAnalysis.piiRedact(Gen.piiDocs(s, 5000L))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+          col("redacted"))),
+
+    // ── training-data curation: Gopher-style duplicate-3-gram fraction ──
+    "q52_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_grams"), col("n_distinct_grams"),
+          col("dup_gram_frac"))),
+
+    // ── training-data curation: URL domain provenance counts ──
+    "q53_url_domains" -> ((s, dir) =>
+      TextAnalysis.urlDomainCounts(Gen.piiDocs(s, 5000L)))
   )
 
   // ── DuckDB oracle fragments for the generator-based flagship queries
@@ -443,6 +462,8 @@ object SparkEntry {
   // anchored ^…$ ≡ rlike full match.
   private def trTable =
     "read_parquet('__GRAFT_OUT__/transcripts_input/*.parquet')"
+  private def piiTable =
+    "read_parquet('__GRAFT_OUT__/pii_docs_input/*.parquet')"
   // UTC day as a string via epoch arithmetic — make_timestamp(micros) is
   // timezone-naive in DuckDB, so the result is immune to how the reader
   // types Spark's parquet timestamps (TIMESTAMP vs TIMESTAMPTZ).
@@ -554,6 +575,17 @@ object SparkEntry {
     // deterministic redelivery rule (pattern_id=3 ⟺ ok AND not structured,
     // since P1/P2 are ^CALL/^RESULT-anchored), latest ts wins per key.
     "q50_replace_lww" ->
-      s"""WITH t AS (SELECT conv_id, turn_idx, text, ts FROM $trTable WHERE $duckOk), d AS (SELECT conv_id, turn_idx, text || ' redelivered' AS text, ts + INTERVAL 1 HOUR AS ts FROM $trTable WHERE $duckOk AND NOT (starts_with(text, 'CALL') OR starts_with(text, 'RESULT')) AND turn_idx % 3 = 0), a AS (SELECT * FROM t UNION ALL SELECT * FROM d) SELECT conv_id, turn_idx, text, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY ts DESC) AS rn FROM a) x WHERE rn = 1"""
+      s"""WITH t AS (SELECT conv_id, turn_idx, text, ts FROM $trTable WHERE $duckOk), d AS (SELECT conv_id, turn_idx, text || ' redelivered' AS text, ts + INTERVAL 1 HOUR AS ts FROM $trTable WHERE $duckOk AND NOT (starts_with(text, 'CALL') OR starts_with(text, 'RESULT')) AND turn_idx % 3 = 0), a AS (SELECT * FROM t UNION ALL SELECT * FROM d) SELECT conv_id, turn_idx, text, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY ts DESC) AS rn FROM a) x WHERE rn = 1""",
+    // identical pattern strings on both sides (TextAnalysis.EmailPat etc. —
+    // RE2 ∩ Java dialect); DuckDB regexp_replace needs the explicit 'g' flag
+    // to match Spark's replace-all default
+    "q51_pii_redact" ->
+      s"""SELECT doc_id, len(regexp_extract_all(text, '${TextAnalysis.EmailPat}')) AS n_emails, len(regexp_extract_all(text, '${TextAnalysis.PhonePat}')) AS n_phones, len(regexp_extract_all(text, '${TextAnalysis.Ipv4Pat}')) AS n_ips, regexp_replace(regexp_replace(regexp_replace(text, '${TextAnalysis.EmailPat}', '<EMAIL>', 'g'), '${TextAnalysis.PhonePat}', '<PHONE>', 'g'), '${TextAnalysis.Ipv4Pat}', '<IP>', 'g') AS redacted FROM $piiTable""",
+    // 1-indexed DuckDB lists ≡ Spark element_at; the n_grams=0 branch
+    // avoids empty-list typing on the DuckDB side
+    "q52_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents) SELECT doc_id, CAST(greatest(len(ws) - 2, 0) AS INT) AS n_grams, CASE WHEN len(ws) < 3 THEN 0 ELSE len(list_distinct([concat_ws(' ', ws[i], ws[i+1], ws[i+2]) for i in range(1, len(ws) - 1)])) END AS n_distinct_grams, CASE WHEN len(ws) < 3 THEN 0.0 ELSE round(1.0 - CAST(len(list_distinct([concat_ws(' ', ws[i], ws[i+1], ws[i+2]) for i in range(1, len(ws) - 1)])) AS DOUBLE) / (len(ws) - 2), 6) END AS dup_gram_frac FROM w""",
+    "q53_url_domains" ->
+      s"""SELECT domain, count(*) AS n_mentions FROM (SELECT unnest(regexp_extract_all(text, '${TextAnalysis.UrlPat}', 1)) AS domain FROM $piiTable) GROUP BY 1"""
   )
 }

@@ -111,6 +111,9 @@ object Verify {
     // input via the __GRAFT_OUT__ substitution above.
     graft.alco.Gen.turns(spark, 20000L).toDF().coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/transcripts_input")
+    // planted-PII documents for q51/q53 (same dump-and-oracle contract)
+    graft.alco.Gen.piiDocs(spark, 5000L).coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/pii_docs_input")
 
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT", "240").toLong
     dumpAll(spark, sfDir, outDir, SparkEntry.queries, budgetSec)

@@ -164,4 +164,38 @@ object Gen {
   def writeTable(spark: SparkSession, n: Long, path: String, seed: Long = 42L,
                  numPartitions: Int = 0): Unit =
     turns(spark, n, seed, numPartitions).write.mode("overwrite").parquet(path)
+
+  /** Deterministic documents with PLANTED PII/URLs for the redaction and
+    * URL-extraction operators (the sf* documents table is word-salad with no
+    * emails/digits, so those operators would only ever see zero matches).
+    * Same contract as `turns`: pure expressions of the row id, so Verify can
+    * dump the table once and the DuckDB oracle reads byte-identical input.
+    * Roughly: every 2nd doc carries a URL, every 3rd an email, every 4th a
+    * phone, every 5th an IPv4 — independent residues of the row hash, so all
+    * 16 presence combinations occur.
+    */
+  def piiDocs(spark: SparkSession, n: Long, seed: Long = 42L): org.apache.spark.sql.DataFrame = {
+    val parts = math.max(spark.sparkContext.defaultParallelism, 8)
+    val words = array(Seq("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliett").map(lit): _*)
+    spark.range(0L, n, 1L, parts)
+      .withColumn("h", pmod(xxhash64(col("id"), lit(seed)), lit(1000000007L)))
+      .withColumn("doc_id", col("id"))
+      .withColumn("text", concat_ws(" ",
+        element_at(words, (pmod(col("h"), lit(10)) + 1).cast("int")),
+        element_at(words, (pmod(col("h"), lit(7)) + 1).cast("int")),
+        when(pmod(col("h"), lit(3)) === 0, format_string(
+          "contact user%d@mail%d.example.com now",
+          pmod(col("h"), lit(500L)), pmod(col("h"), lit(7L)))).otherwise(lit("")),
+        when(pmod(col("h"), lit(4)) === 0, format_string(
+          "call +1-555-%04d today", pmod(col("h"), lit(10000L)))).otherwise(lit("")),
+        when(pmod(col("h"), lit(5)) === 0, format_string(
+          "host 10.%d.%d.%d unreachable", pmod(col("h"), lit(256L)),
+          pmod(col("h"), lit(200L)), pmod(col("h"), lit(250L)))).otherwise(lit("")),
+        when(pmod(col("h"), lit(2)) === 0, format_string(
+          "see https://site%d.example.org/p/%d for details",
+          pmod(col("h"), lit(13L)), pmod(col("h"), lit(97L)))).otherwise(lit("")),
+        element_at(words, (pmod(col("h"), lit(5)) + 1).cast("int"))))
+      .select(col("doc_id"), col("text"))
+  }
 }

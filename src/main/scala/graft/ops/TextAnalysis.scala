@@ -97,4 +97,64 @@ object TextAnalysis {
         md5(concat_ws(" ", sort_array(array_distinct(toks)))))
       .withColumn("seq_fingerprint", GraftFunctions.rolling_hash64(toks))
   }
+
+  /** PII patterns for redaction — the RE2 ∩ java.util.regex dialect subset
+    * so the DuckDB oracle runs the IDENTICAL pattern strings (no lookaround,
+    * no backrefs).
+    */
+  val EmailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val PhonePat = """\+1-555-[0-9]{4}"""
+  val Ipv4Pat = """\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"""
+  /** Group 1 = the domain. */
+  val UrlPat = """https?://([A-Za-z0-9.-]+)(?:/[A-Za-z0-9./_%-]*)?"""
+
+  /** PII scrubbing (training-data curation): count + redact emails, phone
+    * numbers and IPv4 addresses to typed placeholders. Pure codegen'd
+    * expressions — one projection, no shuffle, scales linearly. Email runs
+    * before IP so a host inside an email's domain is counted once as email.
+    */
+  def piiRedact(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails", size(regexp_extract_all(t, lit(EmailPat), lit(0))))
+      .withColumn("n_phones", size(regexp_extract_all(t, lit(PhonePat), lit(0))))
+      .withColumn("n_ips", size(regexp_extract_all(t, lit(Ipv4Pat), lit(0))))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, lit(EmailPat), lit("<EMAIL>")),
+            lit(PhonePat), lit("<PHONE>")),
+          lit(Ipv4Pat), lit("<IP>")))
+  }
+
+  /** Gopher-style repetition signal: fraction of duplicate word 3-grams.
+    * Whole-array expressions (split → transform window → distinct), no
+    * explode — the row count never inflates, so this composes with any
+    * downstream filter at 100 TB. 1-indexed element_at matches the DuckDB
+    * list oracle exactly.
+    */
+  def repetitionStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val w = split(trim(lower(col(textCol))), """\s+""")
+    val n3 = greatest(size(w) - lit(2), lit(0))
+    val grams = when(n3 === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(w) - lit(2)), i =>
+        concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+          element_at(w, i + 2))))
+    df.withColumn("n_grams", n3)
+      .withColumn("n_distinct_grams", size(array_distinct(grams)))
+      .withColumn("dup_gram_frac",
+        when(n3 === 0, lit(0.0)).otherwise(round(
+          lit(1.0) - size(array_distinct(grams)).cast("double") /
+            n3.cast("double"), 6)))
+  }
+
+  /** URL/domain extraction (C4/RefinedWeb-style provenance stats): pull
+    * every URL's domain and count docs×mentions per domain. explode is
+    * row-bounded by actual URL occurrences; the aggregation is one hash
+    * shuffle on domain.
+    */
+  def urlDomainCounts(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(explode(regexp_extract_all(col(textCol), lit(UrlPat), lit(1)))
+        .as("domain"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_mentions"))
 }

@@ -292,6 +292,58 @@ class OpsSpec extends SparkSpec {
     assert(t.find(_._1 == 3L).get._3 == 7) // Hello , world ! 1 2 3
   }
 
+  test("pii redact: counts match planted density, redaction removes every match") {
+    val pii = graft.alco.Gen.piiDocs(spark, 2000L).cache()
+    val r = TextAnalysis.piiRedact(pii).cache()
+    // planted residues: every ~3rd doc carries an email, ~4th a phone, ~5th
+    // an IP (residues of h, not id, so allow a generous band around 1/k)
+    val n = r.count().toDouble
+    val emails = r.filter($"n_emails" > 0).count() / n
+    val phones = r.filter($"n_phones" > 0).count() / n
+    val ips = r.filter($"n_ips" > 0).count() / n
+    assert(emails > 0.2 && emails < 0.5, s"email density $emails")
+    assert(phones > 0.15 && phones < 0.4, s"phone density $phones")
+    assert(ips > 0.1 && ips < 0.35, s"ip density $ips")
+    // redacted text has zero residual matches and the right placeholders
+    val residual = r.filter(
+      col("redacted").rlike(TextAnalysis.EmailPat) ||
+        col("redacted").rlike(TextAnalysis.PhonePat) ||
+        col("redacted").rlike(TextAnalysis.Ipv4Pat)).count()
+    assert(residual == 0, "redaction left a PII match behind")
+    val placeholderRows = r.filter($"n_emails" > 0 &&
+      !col("redacted").contains("<EMAIL>")).count()
+    assert(placeholderRows == 0)
+    r.unpersist(); pii.unpersist()
+  }
+
+  test("repetition stats: hand-computed dup 3-gram fraction, edge cases") {
+    val df = Seq(
+      (1L, "a b c a b c a b c"), // 7 grams: abc bca cab abc bca cab abc -> 3 distinct
+      (2L, "one two three four"), // 2 grams, both distinct
+      (3L, "x y"), // too short -> 0 grams
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(df)
+      .select($"doc_id", $"n_grams", $"n_distinct_grams", $"dup_gram_frac")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((7, 3, math.rint((1.0 - 3.0 / 7.0) * 1e6) / 1e6)))
+    assert(got(2L) == ((2, 2, 0.0)))
+    assert(got(3L) == ((0, 0, 0.0)))
+    assert(got(4L)._1 == 0 && got(4L)._3 == 0.0)
+  }
+
+  test("url domains: counts planted domains only, no duplicates row blowup") {
+    val pii = graft.alco.Gen.piiDocs(spark, 2000L)
+    val d = TextAnalysis.urlDomainCounts(pii).cache()
+    val domains = d.collect().map(_.getString(0))
+    assert(domains.nonEmpty && domains.forall(_.matches("""site\d+\.example\.org""")))
+    assert(domains.distinct.length == domains.length)
+    // every 2nd doc (by hash residue) plants exactly one URL
+    val total = d.agg(sum($"n_mentions")).first().getLong(0)
+    assert(total > 700 && total < 1300, s"planted-url total $total")
+    d.unpersist()
+  }
+
   test("multimodal plumbing: stub decode, corrupt rows quarantined, sampling") {
     val media = Multimodal.syntheticMedia(spark, 100)
     assert(media.schema.fieldNames.toSeq ==
