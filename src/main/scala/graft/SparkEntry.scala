@@ -450,7 +450,22 @@ object SparkEntry {
 
     // ── training-data curation: URL domain provenance counts ──
     "q53_url_domains" -> ((s, dir) =>
-      TextAnalysis.urlDomainCounts(Gen.piiDocs(s, 5000L)))
+      TextAnalysis.urlDomainCounts(Gen.piiDocs(s, 5000L))),
+
+    // ── training-data curation: benchmark decontamination (every 50th doc
+    // doubles as the "benchmark" set, so overlap is guaranteed and the
+    // oracle replays the same rule) ──
+    "q54_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Contamination.flagContaminated(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 50 === 0), "text", n = 3, minHits = 1)
+    }),
+
+    // ── training-data curation: per-stratum quota sampling ──
+    "q55_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(t(s, dir, "events"), "event_id", "event_type",
+        Map("click" -> 500, "view" -> 100, "purchase" -> 1000))
+        .select(col("event_id"), col("event_type")))
   )
 
   // ── DuckDB oracle fragments for the generator-based flagship queries
@@ -586,6 +601,13 @@ object SparkEntry {
     "q52_repetition" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents) SELECT doc_id, CAST(greatest(len(ws) - 2, 0) AS INT) AS n_grams, CASE WHEN len(ws) < 3 THEN 0 ELSE len(list_distinct([concat_ws(' ', ws[i], ws[i+1], ws[i+2]) for i in range(1, len(ws) - 1)])) END AS n_distinct_grams, CASE WHEN len(ws) < 3 THEN 0.0 ELSE round(1.0 - CAST(len(list_distinct([concat_ws(' ', ws[i], ws[i+1], ws[i+2]) for i in range(1, len(ws) - 1)])) AS DOUBLE) / (len(ws) - 2), 6) END AS dup_gram_frac FROM w""",
     "q53_url_domains" ->
-      s"""SELECT domain, count(*) AS n_mentions FROM (SELECT unnest(regexp_extract_all(text, '${TextAnalysis.UrlPat}', 1)) AS domain FROM $piiTable) GROUP BY 1"""
+      s"""SELECT domain, count(*) AS n_mentions FROM (SELECT unnest(regexp_extract_all(text, '${TextAnalysis.UrlPat}', 1)) AS domain FROM $piiTable) GROUP BY 1""",
+    // distinct corpus 3-grams joined against the benchmark gram set
+    // (benchmark = every 50th doc; same split/lower/window rule as q52)
+    "q54_decontaminate" ->
+      """WITH c AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents), cg AS (SELECT doc_id, unnest(list_distinct([concat_ws(' ', ws[i], ws[i+1], ws[i+2]) for i in range(1, len(ws) - 1)])) AS gram FROM c WHERE len(ws) >= 3), bg AS (SELECT DISTINCT gram FROM cg WHERE doc_id % 50 = 0) SELECT doc_id, count(*) AS n_hits FROM cg JOIN bg USING (gram) GROUP BY 1 HAVING count(*) >= 1""",
+    // q47's md5-prefix bucket arithmetic with a per-stratum threshold
+    "q55_stratified_sample" ->
+      """SELECT event_id, event_type FROM events WHERE CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < CASE event_type WHEN 'click' THEN 500 WHEN 'view' THEN 100 WHEN 'purchase' THEN 1000 ELSE 0 END"""
   )
 }

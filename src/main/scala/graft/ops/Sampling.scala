@@ -44,4 +44,23 @@ object Sampling {
     val b = hashBucket(col(keyCol), 1000)
     (df.filter(b >= evalPermille.toLong), df.filter(b < evalPermille.toLong))
   }
+
+  /** Per-stratum quota sampling (domain/language rebalancing): keep a
+    * deterministic `permille(stratum)`‰ of each stratum, `defaultPermille`‰
+    * of everything else. A pure codegen'd filter — no shuffle, no window,
+    * no per-stratum pass — because the quota only decides the hash
+    * THRESHOLD, not a rank: membership stays a pure row function, so it is
+    * partition-invariant, retry-stable and growth-stable exactly like
+    * hashSample, and the strata can number in the millions without any
+    * driver-side state beyond this map.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+      permille: Map[String, Int], defaultPermille: Int = 0): DataFrame = {
+    require((defaultPermille +: permille.values.toSeq)
+      .forall(q => q >= 0 && q <= 1000))
+    val quota = permille.foldLeft(when(lit(false), lit(0))) {
+      case (acc, (s, q)) => acc.when(col(stratumCol) === s, lit(q))
+    }.otherwise(lit(defaultPermille))
+    df.filter(hashBucket(col(keyCol), 1000) < quota.cast("long"))
+  }
 }

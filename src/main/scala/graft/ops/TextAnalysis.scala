@@ -132,13 +132,22 @@ object TextAnalysis {
     * downstream filter at 100 TB. 1-indexed element_at matches the DuckDB
     * list oracle exactly.
     */
+  /** Word n-gram array (1-indexed sliding window ≡ the DuckDB list oracle).
+    * Guarded: Spark's `sequence(1, k)` DESCENDS when k < 1, so short texts
+    * must short-circuit to the empty array.
+    */
+  def wordNgrams(textCol: Column, n: Int): Column = {
+    val w = split(trim(lower(textCol)), """\s+""")
+    val cnt = greatest(size(w) - lit(n - 1), lit(0))
+    when(cnt === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(w) - lit(n - 1)), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*)))
+  }
+
   def repetitionStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val w = split(trim(lower(col(textCol))), """\s+""")
     val n3 = greatest(size(w) - lit(2), lit(0))
-    val grams = when(n3 === 0, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(w) - lit(2)), i =>
-        concat_ws(" ", element_at(w, i), element_at(w, i + 1),
-          element_at(w, i + 2))))
+    val grams = wordNgrams(col(textCol), 3)
     df.withColumn("n_grams", n3)
       .withColumn("n_distinct_grams", size(array_distinct(grams)))
       .withColumn("dup_gram_frac",

@@ -121,6 +121,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q51/q52 curation projections are shuffle-free; q53 is one hash shuffle") {
+    Seq("q51_pii_redact", "q52_repetition").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, dir))
+      assert(!p.contains("Exchange"),
+        s"$q must be a pure projection with no shuffle:\n$p")
+    }
+    val p53 = plan(SparkEntry.queries("q53_url_domains")(spark, dir))
+    assert(p53.split("Exchange").length <= 2 && !p53.contains("Sort"),
+      s"q53 must be extract→explode→ONE hash-agg shuffle, no sort:\n$p53")
+  }
+
+  test("q54 decontamination broadcasts the benchmark; q55 sampling is shuffle-free") {
+    // the 100 TB corpus must never sort-merge against the benchmark —
+    // gram matching is a map-side broadcast join
+    val p54 = plan(SparkEntry.queries("q54_decontaminate")(spark, dir))
+    assert(p54.contains("BroadcastHashJoin") && !p54.contains("SortMergeJoin"),
+      s"q54 must broadcast the benchmark gram set:\n$p54")
+    val p55 = plan(SparkEntry.queries("q55_stratified_sample")(spark, dir))
+    assert(!p55.contains("Exchange"),
+      s"q55 must be a pure filter with no shuffle:\n$p55")
+  }
+
   test("multimodal resize is a single pass — no Exchange, no Join") {
     // Round 3 re-attached resized payloads via a self-join on media_id:
     // the whole table shuffled twice. One mapPartitions carrying all

@@ -344,6 +344,47 @@ class OpsSpec extends SparkSpec {
     d.unpersist()
   }
 
+  test("decontamination: planted overlap flagged, clean docs survive") {
+    // corpus doc 0 and benchmark share text verbatim; doc 1 shares a 3-gram
+    // window; doc 2 shares nothing
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "zz yy alpha beta gamma qq"),
+      (2L, "one two three four five")).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("bid", "text")
+    val flagged = Contamination.flagContaminated(
+        corpus, "doc_id", "text", bench, "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.keySet == Set(0L, 1L))
+    assert(flagged(0L) == 3L) // all 3 of its 3-grams
+    assert(flagged(1L) == 1L) // the one shared window
+    val clean = Contamination.dropContaminated(
+      corpus, "doc_id", "text", bench, "text").collect().map(_.getLong(0))
+    assert(clean.toSeq == Seq(2L))
+    // minHits raises the bar
+    assert(Contamination.flagContaminated(corpus, "doc_id", "text",
+      bench, "text", minHits = 2).collect().map(_.getLong(0)).toSet == Set(0L))
+  }
+
+  test("stratified sample: per-stratum rates, determinism, subset of uniform rule") {
+    val df = (0 until 4000).map(i =>
+      (i.toLong, Seq("a", "b", "c")(i % 3))).toDF("id", "stratum")
+    val kept = Sampling.stratifiedSample(df, "id", "stratum",
+      Map("a" -> 500, "b" -> 100), defaultPermille = 0).cache()
+    val byStratum = kept.groupBy($"stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perStratum = 4000 / 3.0
+    assert(math.abs(byStratum("a") / perStratum - 0.5) < 0.08)
+    assert(math.abs(byStratum.getOrElse("b", 0L) / perStratum - 0.1) < 0.05)
+    assert(!byStratum.contains("c")) // default quota 0 drops the stratum
+    // repartitioning must not change membership (pure row function)
+    val again = Sampling.stratifiedSample(df.repartition(17), "id", "stratum",
+      Map("a" -> 500, "b" -> 100), defaultPermille = 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == kept.collect().map(_.getLong(0)).toSet)
+    kept.unpersist()
+  }
+
   test("multimodal plumbing: stub decode, corrupt rows quarantined, sampling") {
     val media = Multimodal.syntheticMedia(spark, 100)
     assert(media.schema.fieldNames.toSeq ==
