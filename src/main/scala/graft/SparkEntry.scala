@@ -465,7 +465,12 @@ object SparkEntry {
     "q55_stratified_sample" -> ((s, dir) =>
       Sampling.stratifiedSample(t(s, dir, "events"), "event_id", "event_type",
         Map("click" -> 500, "view" -> 100, "purchase" -> 1000))
-        .select(col("event_id"), col("event_type")))
+        .select(col("event_id"), col("event_type"))),
+
+    // ── training-data curation: token-budget chunking with overlap ──
+    "q56_chunking" -> ((s, dir) =>
+      TextOps.chunkByTokens(t(s, dir, "documents"), "doc_id", "text",
+        maxTokens = 16, overlap = 4))
   )
 
   // ── DuckDB oracle fragments for the generator-based flagship queries
@@ -608,6 +613,11 @@ object SparkEntry {
       """WITH c AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents), cg AS (SELECT doc_id, unnest(list_distinct([concat_ws(' ', ws[i], ws[i+1], ws[i+2]) for i in range(1, len(ws) - 1)])) AS gram FROM c WHERE len(ws) >= 3), bg AS (SELECT DISTINCT gram FROM cg WHERE doc_id % 50 = 0) SELECT doc_id, count(*) AS n_hits FROM cg JOIN bg USING (gram) GROUP BY 1 HAVING count(*) >= 1""",
     // q47's md5-prefix bucket arithmetic with a per-stratum threshold
     "q55_stratified_sample" ->
-      """SELECT event_id, event_type FROM events WHERE CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < CASE event_type WHEN 'click' THEN 500 WHEN 'view' THEN 100 WHEN 'purchase' THEN 1000 ELSE 0 END"""
+      """SELECT event_id, event_type FROM events WHERE CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < CASE event_type WHEN 'click' THEN 500 WHEN 'view' THEN 100 WHEN 'purchase' THEN 1000 ELSE 0 END""",
+    // DuckDB list slices are 1-based INCLUSIVE; range() is stop-exclusive,
+    // so stop = greatest(len-overlap, 1) + 1 mirrors Spark's clamped
+    // sequence; chunk_idx = (start-1)/step ≡ posexplode's ordinal
+    "q56_chunking" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents WHERE len(trim(text)) > 0), s AS (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 4, 1) + 1, 12)) AS st FROM w) SELECT doc_id, CAST((st - 1) / 12 AS INT) AS chunk_idx, array_to_string(ws[st : least(st + 15, len(ws))], ' ') AS chunk, CAST(least(st + 15, len(ws)) - st + 1 AS INT) AS n_tokens FROM s"""
   )
 }

@@ -31,4 +31,34 @@ object TextOps {
     val union = size(array_union(a, b)).cast("double")
     when(union === 0, lit(0.0)).otherwise(inter / union)
   }
+
+  /** Token-budget document chunking (the pre-training packing primitive):
+    * split each doc's whitespace words into chunks of ≤ `maxTokens` with
+    * `overlap` tokens shared between consecutive chunks. One narrow
+    * projection + one generator — chunk starts are computed as a whole-array
+    * `sequence`, the text is re-assembled per start with `slice`, and
+    * `posexplode` emits (chunk_idx, chunk). Row inflation is the operator's
+    * contract (≈ input/maxTokens), there is NO shuffle, and nothing is
+    * buffered per doc beyond its own word array — scales to any corpus.
+    * Whitespace-empty docs are dropped (no token, no chunk).
+    */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens >= 1 && overlap >= 0 && overlap < maxTokens,
+      "need 0 <= overlap < maxTokens")
+    val step = maxTokens - overlap
+    val w = split(trim(lower(col(textCol))), """\s+""")
+    // last start must introduce ≥1 NEW token (start ≤ len − overlap), and
+    // the stop is clamped to ≥1 because Spark's sequence() DESCENDS when
+    // stop < start (short docs yield exactly one chunk)
+    val starts = sequence(lit(1),
+      greatest(size(w) - lit(overlap), lit(1)), lit(step))
+    df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), posexplode(
+        transform(starts, s => concat_ws(" ", slice(w, s, lit(maxTokens))))))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "chunk")
+      .withColumn("n_tokens",
+        size(split(col("chunk"), """\s+""")))
+  }
 }

@@ -141,6 +141,10 @@ class PlanSpec extends SparkSpec {
     val p55 = plan(SparkEntry.queries("q55_stratified_sample")(spark, dir))
     assert(!p55.contains("Exchange"),
       s"q55 must be a pure filter with no shuffle:\n$p55")
+    // chunking inflates rows by design but must never move them
+    val p56 = plan(SparkEntry.queries("q56_chunking")(spark, dir))
+    assert(!p56.contains("Exchange") && p56.contains("Generate"),
+      s"q56 must be scan→project→generate with no shuffle:\n$p56")
   }
 
   test("multimodal resize is a single pass — no Exchange, no Join") {

@@ -385,6 +385,29 @@ class OpsSpec extends SparkSpec {
     kept.unpersist()
   }
 
+  test("chunking: coverage, overlap, clamped tail, short and empty docs") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 words
+      (2L, "a b"), // shorter than maxTokens -> one chunk
+      (3L, "   ")) // whitespace-only -> dropped
+      .toDF("doc_id", "text")
+    val chunks = TextOps.chunkByTokens(df, "doc_id", "text",
+      maxTokens = 4, overlap = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val d1 = chunks.filter(_._1 == 1L).sortBy(_._2)
+    // starts 1,3,5,7 (last start ≤ 10-2): windows of 4, tail clamped
+    assert(d1.map(_._3).toSeq == Seq(
+      "t1 t2 t3 t4", "t3 t4 t5 t6", "t5 t6 t7 t8", "t7 t8 t9 t10"))
+    assert(d1.map(_._4).forall(_ == 4))
+    // every token covered, consecutive chunks share exactly `overlap`
+    d1.sliding(2).foreach { case Array(a, b) =>
+      val sa = a._3.split(" ").toSet; val sb = b._3.split(" ").toSet
+      assert(sa.intersect(sb).size == 2)
+    }
+    assert(chunks.filter(_._1 == 2L).toSeq == Seq((2L, 0, "a b", 2)))
+    assert(!chunks.exists(_._1 == 3L))
+  }
+
   test("multimodal plumbing: stub decode, corrupt rows quarantined, sampling") {
     val media = Multimodal.syntheticMedia(spark, 100)
     assert(media.schema.fieldNames.toSeq ==
