@@ -408,6 +408,29 @@ class OpsSpec extends SparkSpec {
     assert(!chunks.exists(_._1 == 3L))
   }
 
+  test("chunking reconstruction invariant across (maxTokens, overlap) combos") {
+    // dropping each chunk's leading `overlap` tokens (except chunk 0) and
+    // concatenating must reproduce the doc's exact word sequence — i.e. full
+    // coverage, correct order, no token duplicated beyond the overlap
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 60).map { i =>
+      val n = 1 + rnd.nextInt(40)
+      (i.toLong, (0 until n).map(j => s"w${rnd.nextInt(9)}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    for ((maxT, ov) <- Seq((8, 0), (8, 3), (5, 4), (1, 0), (64, 10))) {
+      val chunks = TextOps.chunkByTokens(docs, "doc_id", "text", maxT, ov)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        .groupBy(_._1)
+      docs.collect().foreach { r =>
+        val (id, words) = (r.getLong(0), r.getString(1).split(" ").toSeq)
+        val cs = chunks(id).sortBy(_._2).map(_._3.split(" ").toSeq)
+        val rebuilt = cs.head ++ cs.tail.flatMap(_.drop(ov))
+        assert(rebuilt == words, s"doc $id maxT=$maxT ov=$ov")
+        assert(cs.forall(_.size <= maxT))
+      }
+    }
+  }
+
   test("multimodal plumbing: stub decode, corrupt rows quarantined, sampling") {
     val media = Multimodal.syntheticMedia(spark, 100)
     assert(media.schema.fieldNames.toSeq ==
