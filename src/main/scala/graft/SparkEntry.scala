@@ -470,7 +470,11 @@ object SparkEntry {
     // ── training-data curation: token-budget chunking with overlap ──
     "q56_chunking" -> ((s, dir) =>
       TextOps.chunkByTokens(t(s, dir, "documents"), "doc_id", "text",
-        maxTokens = 16, overlap = 4))
+        maxTokens = 16, overlap = 4)),
+
+    // ── training-data curation: unigram surprisal (perplexity proxy) ──
+    "q57_surprisal" -> ((s, dir) =>
+      TextAnalysis.unigramSurprisal(t(s, dir, "documents"), "doc_id"))
   )
 
   // ── DuckDB oracle fragments for the generator-based flagship queries
@@ -618,6 +622,10 @@ object SparkEntry {
     // so stop = greatest(len-overlap, 1) + 1 mirrors Spark's clamped
     // sequence; chunk_idx = (start-1)/step ≡ posexplode's ordinal
     "q56_chunking" ->
-      """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents WHERE len(trim(text)) > 0), s AS (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 4, 1) + 1, 12)) AS st FROM w) SELECT doc_id, CAST((st - 1) / 12 AS INT) AS chunk_idx, array_to_string(ws[st : least(st + 15, len(ws))], ' ') AS chunk, CAST(least(st + 15, len(ws)) - st + 1 AS INT) AS n_tokens FROM s"""
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents WHERE len(trim(text)) > 0), s AS (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 4, 1) + 1, 12)) AS st FROM w) SELECT doc_id, CAST((st - 1) / 12 AS INT) AS chunk_idx, array_to_string(ws[st : least(st + 15, len(ws))], ' ') AS chunk, CAST(least(st + 15, len(ws)) - st + 1 AS INT) AS n_tokens FROM s""",
+    // same tokenization as q26/q29 (\w+ runs, lowercased); ln on both
+    // sides; round(,6) absorbs double summation-order noise
+    "q57_surprisal" ->
+      """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS tok FROM documents), f AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1), tot AS (SELECT sum(cnt) AS total FROM f) SELECT doc_id, round(avg(-ln(CAST(cnt AS DOUBLE) / total)), 6) AS surprisal FROM t JOIN f USING (tok) CROSS JOIN tot GROUP BY 1"""
   )
 }

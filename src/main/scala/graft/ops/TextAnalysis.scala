@@ -156,6 +156,31 @@ object TextAnalysis {
             n3.cast("double"), 6)))
   }
 
+  /** Unigram surprisal — the perplexity-proxy quality signal (real
+    * pipelines score with a language model; the corpus-unigram proxy is the
+    * standard cheap stand-in): per doc, the mean −ln p(token) under the
+    * corpus's own unigram distribution. High = rare-token gibberish,
+    * low = repetitive boilerplate.
+    *
+    * Distributed shape: one vocab aggregation over the corpus (classic
+    * shuffle), the frequency table broadcast back (vocabulary ≪ corpus —
+    * drop the explicit broadcast() if a web-scale vocab outgrows it and
+    * Spark falls back to a shuffled join on the token key), one per-doc
+    * aggregation. Rounded to 6 dp so double summation order (Spark vs
+    * DuckDB vs partitioning) cannot flip the comparison.
+    */
+  def unigramSurprisal(df: DataFrame, idCol: String,
+      textCol: String = "text"): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextOps.tokens(col(textCol))).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val withTotal = freq.crossJoin(freq.agg(sum(col("cnt")).as("total")))
+    toks.join(broadcast(withTotal), "tok")
+      .groupBy(col(idCol))
+      .agg(round(avg(-log(col("cnt").cast("double") / col("total"))), 6)
+        .as("surprisal"))
+  }
+
   /** URL/domain extraction (C4/RefinedWeb-style provenance stats): pull
     * every URL's domain and count docs×mentions per domain. explode is
     * row-bounded by actual URL occurrences; the aggregation is one hash

@@ -431,6 +431,19 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("unigram surprisal: hand-computed tiny corpus, ranking direction") {
+    // corpus: "a a b" + "a c" -> counts a=3, b=1, c=1, total=5
+    val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramSurprisal(df, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def lp(c: Int) = -math.log(c / 5.0)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got(1L) == r6((lp(3) + lp(3) + lp(1)) / 3.0))
+    assert(got(2L) == r6((lp(3) + lp(1)) / 2.0))
+    // rare-token docs score higher than common-token docs
+    assert(got(2L) > got(1L) * 0.9)
+  }
+
   test("multimodal plumbing: stub decode, corrupt rows quarantined, sampling") {
     val media = Multimodal.syntheticMedia(spark, 100)
     assert(media.schema.fieldNames.toSeq ==
