@@ -90,7 +90,7 @@ object Profile {
           f"gcSec=${acc.get(2) / 1e3}%.1f shufWriteSec=${acc.get(3) / 1e3}%.1f " +
           f"fetchWaitSec=${acc.get(4) / 1e3}%.1f busy=${acc.get(0) / 1e3 / (sec * cpus)}%.2f")
       }
-      spark.stop(); return
+      cleanup(work); spark.stop(); return
     }
 
     val skipPrefix = sys.env.get("SKIP_PREFIX").nonEmpty
