@@ -79,13 +79,20 @@ object Profile {
             }
           }
         })
+      // A/B knob: comma-separated codec list cycled across reps (e.g.
+      // "zstd,snappy,zstd,snappy" at REPS=4 gives interleaved pairs whose
+      // within-pair ratio survives host noise waves)
+      val codecs = sys.env.getOrElse("SPARK_GRAFT_CODECS", "zstd").split(",")
+      val reps = sys.env.getOrElse("SPARK_GRAFT_PROFILE_REPS", "3").toInt
       Pipeline.run(spark, turns.limit(100000), s"$work/warm", batchId = 0L)
-      (1 to 3).foreach { i =>
+      (1 to reps).foreach { i =>
         (0 until 6).foreach(acc.set(_, 0L))
+        val codec = codecs((i - 1) % codecs.length)
         val t0 = System.nanoTime()
-        val r = Pipeline.run(spark, turns, s"$work/out_$i", batchId = 1L)
+        val r = Pipeline.run(spark, turns, s"$work/out_$i", batchId = 1L,
+          cfg = Pipeline.Config(parquetCodec = codec))
         val sec = (System.nanoTime() - t0) / 1e9
-        println(f"PROFILE pipeline_rep$i ${sec}%8.2f s  stages=${r.stageTimings}  " +
+        println(f"PROFILE pipeline_rep${i}_$codec ${sec}%8.2f s  stages=${r.stageTimings}  " +
           f"tasks=${acc.get(5)} runSec=${acc.get(0) / 1e3}%.1f cpuSec=${acc.get(1) / 1e3}%.1f " +
           f"gcSec=${acc.get(2) / 1e3}%.1f shufWriteSec=${acc.get(3) / 1e3}%.1f " +
           f"fetchWaitSec=${acc.get(4) / 1e3}%.1f busy=${acc.get(0) / 1e3 / (sec * cpus)}%.2f")
