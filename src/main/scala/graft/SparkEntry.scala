@@ -474,7 +474,14 @@ object SparkEntry {
 
     // ── training-data curation: unigram surprisal (perplexity proxy) ──
     "q57_surprisal" -> ((s, dir) =>
-      TextAnalysis.unigramSurprisal(t(s, dir, "documents"), "doc_id"))
+      TextAnalysis.unigramSurprisal(t(s, dir, "documents"), "doc_id")),
+
+    // ── training-data curation: line-level boilerplate dedup over the
+    // planted multi-line generator table (sf* documents are single-line;
+    // same dump-and-oracle contract as q51) ──
+    "q58_line_dedup" -> ((s, dir) =>
+      Dedup.dropBoilerplateLines(Gen.linedDocs(s, 4000L), "doc_id", "text",
+        minDocFreq = 10))
   )
 
   // ── DuckDB oracle fragments for the generator-based flagship queries
@@ -488,6 +495,8 @@ object SparkEntry {
     "read_parquet('__GRAFT_OUT__/transcripts_input/*.parquet')"
   private def piiTable =
     "read_parquet('__GRAFT_OUT__/pii_docs_input/*.parquet')"
+  private def linedTable =
+    "read_parquet('__GRAFT_OUT__/lined_docs_input/*.parquet')"
   // UTC day as a string via epoch arithmetic — make_timestamp(micros) is
   // timezone-naive in DuckDB, so the result is immune to how the reader
   // types Spark's parquet timestamps (TIMESTAMP vs TIMESTAMPTZ).
@@ -626,6 +635,12 @@ object SparkEntry {
     // same tokenization as q26/q29 (\w+ runs, lowercased); ln on both
     // sides; round(,6) absorbs double summation-order noise
     "q57_surprisal" ->
-      """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS tok FROM documents), f AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1), tot AS (SELECT sum(cnt) AS total FROM f) SELECT doc_id, round(avg(-ln(CAST(cnt AS DOUBLE) / total)), 6) AS surprisal FROM t JOIN f USING (tok) CROSS JOIN tot GROUP BY 1"""
+      """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS tok FROM documents), f AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1), tot AS (SELECT sum(cnt) AS total FROM f) SELECT doc_id, round(avg(-ln(CAST(cnt AS DOUBLE) / total)), 6) AS surprisal FROM t JOIN f USING (tok) CROSS JOIN tot GROUP BY 1""",
+    // trim-normalized line keys, doc-frequency >= 10 = boilerplate; kept
+    // lines re-joined in position order; string_agg skips the NULL-ed
+    // boilerplate lines and coalesce('') matches Spark's array_join on an
+    // empty array for fully-boilerplate docs
+    "q58_line_dedup" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM $linedTable), e AS (SELECT doc_id, unnest([{'pos': i, 'line': ls[i]} for i in range(1, len(ls) + 1)]) AS pl FROM d), x AS (SELECT doc_id, pl.pos AS pos, pl.line AS line, trim(pl.line) AS k FROM e), f AS (SELECT k FROM x GROUP BY k HAVING count(DISTINCT doc_id) >= 10) SELECT doc_id, count(*) AS n_lines, CAST(coalesce(sum(CASE WHEN k IN (SELECT k FROM f) THEN 1 END), 0) AS BIGINT) AS n_removed, coalesce(string_agg(CASE WHEN k NOT IN (SELECT k FROM f) THEN line END, chr(10) ORDER BY pos), '') AS clean_text FROM x GROUP BY doc_id"""
   )
 }

@@ -114,6 +114,9 @@ object Verify {
     // planted-PII documents for q51/q53 (same dump-and-oracle contract)
     graft.alco.Gen.piiDocs(spark, 5000L).coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/pii_docs_input")
+    // planted multi-line documents for q58 line-level dedup
+    graft.alco.Gen.linedDocs(spark, 4000L).coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/lined_docs_input")
 
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT", "240").toLong
     dumpAll(spark, sfDir, outDir, SparkEntry.queries, budgetSec)

@@ -198,4 +198,38 @@ object Gen {
         element_at(words, (pmod(col("h"), lit(5)) + 1).cast("int"))))
       .select(col("doc_id"), col("text"))
   }
+
+  /** Deterministic MULTI-LINE documents for the line-level (boilerplate)
+    * dedup operator — the sf* documents are single-line word-salad, so a
+    * `\n`-split there is degenerate. Same dump-and-oracle contract as
+    * `piiDocs`: pure expressions of the row id.
+    *
+    * Line frequency is planted in three bands so a doc-frequency threshold
+    * has something to separate: a 3-variant header and 2-variant footer
+    * (each in ~n/3 / ~n/2 docs — always boilerplate), a 50-variant middle
+    * line (~n/50 docs — boilerplate at typical thresholds), and a
+    * ~100k-variant body line (doc-unique — never boilerplate). Every 11th
+    * doc repeats its own header as the 4th line (within-doc duplicate of a
+    * boilerplate line), and the 4th line is otherwise a second near-unique
+    * body line. Lines carry asymmetric padding so trim-normalized matching
+    * is exercised.
+    */
+  def linedDocs(spark: SparkSession, n: Long, seed: Long = 42L): org.apache.spark.sql.DataFrame = {
+    val parts = math.max(spark.sparkContext.defaultParallelism, 8)
+    spark.range(0L, n, 1L, parts)
+      .withColumn("h", pmod(xxhash64(col("id"), lit(seed)), lit(1000000007L)))
+      .withColumn("doc_id", col("id"))
+      .withColumn("hdr", format_string("subscribe to newsletter %d",
+        pmod(col("h"), lit(3L))))
+      .withColumn("text", concat_ws("\n",
+        col("hdr"),
+        format_string("payload %d body %d", pmod(col("h"), lit(100003L)),
+          pmod(col("h"), lit(97L))),
+        format_string("  promo code %d  ", pmod(col("h"), lit(50L))),
+        when(pmod(col("h"), lit(11)) === 0, concat(lit(" "), col("hdr")))
+          .otherwise(format_string("detail %d", pmod(col("h"), lit(99991L)))),
+        when(pmod(col("h"), lit(2)) === 0, lit("all rights reserved"))
+          .otherwise(lit("contact support for help"))))
+      .select(col("doc_id"), col("text"))
+  }
 }

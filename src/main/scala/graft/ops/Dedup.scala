@@ -249,6 +249,51 @@ object Dedup {
     labels.select(col("id"), col("lbl").as("component"))
   }
 
+  /** Line-level boilerplate dedup (the C4/Dolma recipe): a line whose
+    * trim-normalized form occurs in ≥ `minDocFreq` DISTINCT documents is
+    * boilerplate (nav bars, cookie banners, license footers) and is removed
+    * from every document; document order of the surviving lines is
+    * preserved. One row out per row in — fully-boilerplate docs come back
+    * with `clean_text = ""` so the caller's length filter decides their
+    * fate.
+    *
+    * Scale shape (the whole point vs a per-doc UDF): explode is
+    * shuffle-free; the doc-frequency aggregate is one hash shuffle on a
+    * 64-bit line key (xxhash64 of the trimmed line — 8 bytes shuffled per
+    * line instead of the line text; a 2⁻⁶⁴ collision can only FLIP a rare
+    * line to boilerplate, never corrupt output text, since removal drops
+    * the doc's own line); the boilerplate set it produces is tiny relative
+    * to the corpus, so AQE turns the membership join into a broadcast; the
+    * only unavoidable shuffle is the per-doc reassembly aggregate. No
+    * window functions, no driver-side state.
+    *
+    * @return (idCol, n_lines, n_removed, clean_text)
+    */
+  def dropBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                           minDocFreq: Int): DataFrame = {
+    require(minDocFreq >= 2, "minDocFreq < 2 would remove every line")
+    val lines = df
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("lk", xxhash64(trim(col("line"))))
+    val boiler = lines.groupBy(col("lk"))
+      .agg(count_distinct(col("id")).as("doc_freq"))
+      .filter(col("doc_freq") >= minDocFreq)
+      .select(col("lk"), lit(true).as("bp"))
+    lines.join(boiler, Seq("lk"), "left")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        coalesce(sum(when(col("bp"), 1L)), lit(0L)).as("n_removed"),
+        // collect_list skips nulls, so only kept lines are gathered; the
+        // struct sorts by pos first, restoring document order
+        array_join(transform(
+          array_sort(collect_list(when(col("bp").isNull,
+            struct(col("pos"), col("line"))))),
+          s => s.getField("line")), "\n").as("clean_text"))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Cluster-level dedup projection: drop every row whose id is a
     * non-representative member of a near-dup cluster (keeper = min id,
     * matching dropExactDuplicates' deterministic choice).

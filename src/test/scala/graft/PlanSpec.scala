@@ -147,6 +147,16 @@ class PlanSpec extends SparkSpec {
       s"q56 must be scan→project→generate with no shuffle:\n$p56")
   }
 
+  test("q58 line dedup explodes once, joins on equi-keys, never windows") {
+    // boilerplate membership must stay an equi-join (AQE broadcasts the
+    // small frequent-line set at runtime) and reassembly is an aggregate,
+    // not a window sort over the exploded lines
+    val p = plan(SparkEntry.queries("q58_line_dedup")(spark, dir))
+    assert(p.contains("Generate") && !p.contains("Window") &&
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"q58 must be explode→agg→equi-join→agg:\n$p")
+  }
+
   test("multimodal resize is a single pass — no Exchange, no Join") {
     // Round 3 re-attached resized payloads via a self-join on media_id:
     // the whole table shuffled twice. One mapPartitions carrying all

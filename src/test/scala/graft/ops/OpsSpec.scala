@@ -366,6 +366,28 @@ class OpsSpec extends SparkSpec {
       bench, "text", minHits = 2).collect().map(_.getLong(0)).toSet == Set(0L))
   }
 
+  test("line dedup: boilerplate removed everywhere, order kept, trim-normalized") {
+    val df = Seq(
+      (1L, "FOOTER\nunique one\n FOOTER "), // within-doc repeat, padded
+      (2L, "FOOTER\nunique two"),
+      (3L, "FOOTER \nunique three"),        // trailing space still matches
+      (4L, "FOOTER"),                       // fully boilerplate
+      (5L, "solo\nlines\nhere")).toDF("doc_id", "text")
+    val out = Dedup.dropBoilerplateLines(df, "doc_id", "text", minDocFreq = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // FOOTER's trim-key appears in docs 1,2,3,4 (freq 4 >= 3) -> boilerplate
+    assert(out(1L) == ((3L, 2L, "unique one")))
+    assert(out(2L) == ((2L, 1L, "unique two")))
+    assert(out(3L) == ((2L, 1L, "unique three")))
+    assert(out(4L) == ((1L, 1L, "")))       // doc survives as a row, empty text
+    assert(out(5L) == ((3L, 0L, "solo\nlines\nhere"))) // order preserved
+    // below-threshold lines all survive
+    val none = Dedup.dropBoilerplateLines(df, "doc_id", "text", minDocFreq = 5)
+      .filter(col("n_removed") > 0).count()
+    assert(none == 0L)
+  }
+
   test("stratified sample: per-stratum rates, determinism, subset of uniform rule") {
     val df = (0 until 4000).map(i =>
       (i.toLong, Seq("a", "b", "c")(i % 3))).toDF("id", "stratum")
