@@ -481,7 +481,15 @@ object SparkEntry {
     // same dump-and-oracle contract as q51) ──
     "q58_line_dedup" -> ((s, dir) =>
       Dedup.dropBoilerplateLines(Gen.linedDocs(s, 4000L), "doc_id", "text",
-        minDocFreq = 10))
+        minDocFreq = 10)),
+
+    // ── training-data curation: temperature-based domain rebalancing
+    // (alpha=0.5 upweights rare event types; rates computed from the
+    // corpus, membership by the q47 md5-bucket rule) ──
+    "q59_temperature_sample" -> ((s, dir) =>
+      Sampling.temperatureResample(t(s, dir, "events"), "event_id",
+        "event_type", alpha = 0.5, targetTotal = 2000L)
+        .select(col("event_id"), col("event_type")))
   )
 
   // ── DuckDB oracle fragments for the generator-based flagship queries
@@ -641,6 +649,11 @@ object SparkEntry {
     // boilerplate lines and coalesce('') matches Spark's array_join on an
     // empty array for fully-boilerplate docs
     "q58_line_dedup" ->
-      s"""WITH d AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM $linedTable), e AS (SELECT doc_id, unnest([{'pos': i, 'line': ls[i]} for i in range(1, len(ls) + 1)]) AS pl FROM d), x AS (SELECT doc_id, pl.pos AS pos, pl.line AS line, trim(pl.line) AS k FROM e), f AS (SELECT k FROM x GROUP BY k HAVING count(DISTINCT doc_id) >= 10) SELECT doc_id, count(*) AS n_lines, CAST(coalesce(sum(CASE WHEN k IN (SELECT k FROM f) THEN 1 END), 0) AS BIGINT) AS n_removed, coalesce(string_agg(CASE WHEN k NOT IN (SELECT k FROM f) THEN line END, chr(10) ORDER BY pos), '') AS clean_text FROM x GROUP BY doc_id"""
+      s"""WITH d AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM $linedTable), e AS (SELECT doc_id, unnest([{'pos': i, 'line': ls[i]} for i in range(1, len(ls) + 1)]) AS pl FROM d), x AS (SELECT doc_id, pl.pos AS pos, pl.line AS line, trim(pl.line) AS k FROM e), f AS (SELECT k FROM x GROUP BY k HAVING count(DISTINCT doc_id) >= 10) SELECT doc_id, count(*) AS n_lines, CAST(coalesce(sum(CASE WHEN k IN (SELECT k FROM f) THEN 1 END), 0) AS BIGINT) AS n_removed, coalesce(string_agg(CASE WHEN k NOT IN (SELECT k FROM f) THEN line END, chr(10) ORDER BY pos), '') AS clean_text FROM x GROUP BY doc_id""",
+    // alpha=0.5 so both engines evaluate pow(nd, 0.5); rate rounded to 6dp
+    // on both sides before the micro-bucket threshold (absorbs libm ULP),
+    // round() ties-away-from-zero on positives in both engines
+    "q59_temperature_sample" ->
+      """WITH n AS (SELECT event_type, count(*) AS nd FROM events GROUP BY 1), z AS (SELECT sum(pow(nd, 0.5)) AS z FROM n), r AS (SELECT event_type, round(least(1.0, 2000 * pow(nd, 0.5) / z / nd), 6) AS rate FROM n CROSS JOIN z) SELECT event_id, event_type FROM events JOIN r USING (event_type) WHERE CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 < CAST(round(rate * 1000000) AS BIGINT)"""
   )
 }

@@ -63,4 +63,38 @@ object Sampling {
     }.otherwise(lit(defaultPermille))
     df.filter(hashBucket(col(keyCol), 1000) < quota.cast("long"))
   }
+
+  /** Temperature-based domain rebalancing (the multilingual-LM / Pile
+    * mixing recipe): domain d with n_d rows gets mixing weight
+    * w_d = n_d^alpha / Σ_e n_e^alpha and sampling rate
+    * min(1, targetTotal·w_d / n_d) — alpha = 1 reproduces the natural
+    * distribution, alpha = 0 flattens to equal rows per domain, values
+    * between upweight the tail. Unlike `stratifiedSample` the quotas are
+    * COMPUTED from the corpus, so no caller-side domain map is needed and
+    * the domain cardinality can be millions.
+    *
+    * Scale shape: one count aggregate on the domain column (output = one
+    * row per domain), the tiny rate table broadcast back, and membership is
+    * the same md5 micro-bucket rule as `hashSample` evaluated map-side —
+    * the corpus itself never shuffles. Rates are rounded to 6 dp before
+    * thresholding so a libm ULP difference (pow) between engines cannot
+    * flip a row. Rows with a NULL domain carry no weight and are dropped.
+    * Membership is partition/retry-stable; it shifts with corpus growth
+    * only insofar as the computed rates shift.
+    */
+  def temperatureResample(df: DataFrame, keyCol: String, domainCol: String,
+      alpha: Double, targetTotal: Long): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0,1]")
+    require(targetTotal > 0)
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__nd"))
+    val z = counts.agg(sum(pow(col("__nd"), alpha)).as("__z"))
+    val rates = counts.crossJoin(broadcast(z))
+      .select(col(domainCol),
+        round(least(lit(1.0), lit(targetTotal.toDouble) *
+          pow(col("__nd"), alpha) / col("__z") / col("__nd")), 6).as("__rate"))
+    df.join(broadcast(rates), Seq(domainCol))
+      .filter(hashBucket(col(keyCol), 1000000) <
+        round(col("__rate") * 1e6).cast("long"))
+      .drop("__rate")
+  }
 }

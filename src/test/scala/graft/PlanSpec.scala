@@ -157,6 +157,16 @@ class PlanSpec extends SparkSpec {
       s"q58 must be explode→agg→equi-join→agg:\n$p")
   }
 
+  test("q59 temperature resample broadcasts the rate table; corpus never sorts") {
+    // the per-domain rates are one row per domain — broadcast back onto the
+    // corpus; the corpus side must never sort-merge (only the tiny
+    // (domain, count) partials may shuffle)
+    val p = plan(SparkEntry.queries("q59_temperature_sample")(spark, dir))
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
+      !p.contains("Window") && !p.contains("CartesianProduct"),
+      s"q59 must be agg→broadcast rates→map-side filter:\n$p")
+  }
+
   test("multimodal resize is a single pass — no Exchange, no Join") {
     // Round 3 re-attached resized payloads via a self-join on media_id:
     // the whole table shuffled twice. One mapPartitions carrying all

@@ -407,6 +407,41 @@ class OpsSpec extends SparkSpec {
     kept.unpersist()
   }
 
+  test("temperature resample: alpha=0 flattens, alpha=1 natural, saturation, determinism") {
+    // skewed corpus: a=3000, b=600, c=60 rows
+    val df = (0 until 3660).map { i =>
+      (i.toLong, if (i < 3000) "a" else if (i < 3600) "b" else "c")
+    }.toDF("id", "domain")
+    // alpha=0: equal mass per domain → ~300 each from a and b; c's rate
+    // saturates at 1.0 so all 60 rows survive
+    val flat = Sampling.temperatureResample(df, "id", "domain",
+      alpha = 0.0, targetTotal = 900L).cache()
+    val byDom = flat.groupBy($"domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDom("c") == 60L, s"saturated domain must keep every row: $byDom")
+    assert(math.abs(byDom("a") - 300L) < 60, s"a=${byDom("a")}")
+    assert(math.abs(byDom("b") - 300L) < 60, s"b=${byDom("b")}")
+    // alpha=1: every domain gets the SAME rate T/N — natural proportions
+    val nat = Sampling.temperatureResample(df, "id", "domain",
+      alpha = 1.0, targetTotal = 366L)
+      .groupBy($"domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(nat("a") / 3000.0 - 0.1) < 0.02, s"a rate ${nat("a")}")
+    assert(math.abs(nat.getOrElse("b", 0L) / 600.0 - 0.1) < 0.05)
+    // membership is a pure row function given the rates: partition-invariant
+    val again = Sampling.temperatureResample(df.repartition(17), "id",
+      "domain", alpha = 0.0, targetTotal = 900L)
+      .select($"id").as[Long].collect().toSet
+    assert(again == flat.select($"id").as[Long].collect().toSet)
+    flat.unpersist()
+    // NULL domain carries no weight: dropped by the equi-join
+    val withNull = df.union(Seq((99999L, null.asInstanceOf[String]))
+      .toDF("id", "domain"))
+    val kept = Sampling.temperatureResample(withNull, "id", "domain",
+      alpha = 0.5, targetTotal = 900L)
+    assert(kept.filter($"domain".isNull).count() == 0L)
+  }
+
   test("chunking: coverage, overlap, clamped tail, short and empty docs") {
     val df = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 words
