@@ -489,8 +489,37 @@ object SparkEntry {
     "q59_temperature_sample" -> ((s, dir) =>
       Sampling.temperatureResample(t(s, dir, "events"), "event_id",
         "event_type", alpha = 0.5, targetTotal = 2000L)
-        .select(col("event_id"), col("event_type")))
+        .select(col("event_id"), col("event_type"))),
+
+    // ── training-data curation: SemDeDup — semantic dedup inside k-means
+    // clusters (rows-only: no k-means in the oracle; cluster-bounded ⊆
+    // exact + nlist=1 ≡ exact proven in OpsSpec) ──
+    "q60_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(t(s, dir, "embeddings"), tau = 0.2, nlist = 16)
+        .select(col("vec_id"))),
+
+    // ── training-data curation: the composed funnel (quality → lang →
+    // exact dedup → hash sample) over a doubled input so the dedup stage
+    // provably removes rows; every stage replicated in the SQL oracle ──
+    "q61_curate" -> ((s, dir) =>
+      Curate.curate(doubledDocs(s, dir), cfg = Curate.Config(
+        minQuality = 0.6, langs = Seq("en"), samplePermille = 700))
+        .select(col("doc_id"), col("lang_guess"), col("quality_score"))),
+
+    // ── the same chain's audit funnel: per-stage surviving row counts ──
+    "q62_curate_funnel" -> ((s, dir) =>
+      Curate.funnel(doubledDocs(s, dir), cfg = Curate.Config(
+        minQuality = 0.6, langs = Seq("en"), samplePermille = 700)))
   )
+
+  /** documents ∪ (documents with ids shifted by 1e6): every text occurs
+    * exactly twice under distinct ids, so the q61/q62 dedup stage does real
+    * work at any sf (the sf tables themselves are duplicate-free).
+    */
+  private def doubledDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.unionByName(d.withColumn("doc_id", col("doc_id") + lit(1000000L)))
+  }
 
   // ── DuckDB oracle fragments for the generator-based flagship queries
   // (q33-q36). `__GRAFT_OUT__` is substituted by Verify with the absolute
@@ -523,9 +552,10 @@ object SparkEntry {
 
   /** DuckDB oracles: bare table names resolve against the same sfDir;
     * `__GRAFT_OUT__` paths resolve against Verify's dump dir. Omitted keys
-    * (q22/q23/q25/q37/q38) are probabilistic/custom-hash ops with no SQL
-    * equivalent → driver records rows-only checks (their exactness is
-    * covered by OpsSpec recall/pigeonhole/subset proofs instead).
+    * (q22/q23/q25/q37/q38/q42/q48/q49/q60) are probabilistic/custom-hash/
+    * k-means ops with no SQL equivalent → driver records rows-only checks
+    * (their exactness is covered by OpsSpec recall/pigeonhole/subset
+    * proofs instead).
     */
   def oracleSql: Map[String, String] = Map(
     "q33_alco_rollup" ->
@@ -655,5 +685,15 @@ object SparkEntry {
     // round() ties-away-from-zero on positives in both engines
     "q59_temperature_sample" ->
       """WITH n AS (SELECT event_type, count(*) AS nd FROM events GROUP BY 1), z AS (SELECT sum(pow(nd, 0.5)) AS z FROM n), r AS (SELECT event_type, round(least(1.0, 2000 * pow(nd, 0.5) / z / nd), 6) AS rate FROM n CROSS JOIN z) SELECT event_id, event_type FROM events JOIN r USING (event_type) WHERE CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 < CAST(round(rate * 1000000) AS BIGINT)"""
+ ,
+    // composed funnel over the doubled table: quality + langid CTEs are the
+    // q26/q27 fragments verbatim (sw_en doubles as the quality n_stop),
+    // dedup = min-id per md5(text) among filter survivors, sample = the q47
+    // md5 micro-bucket rule
+    "q61_curate" ->
+      """WITH dd AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000, text FROM documents), c AS (SELECT doc_id, text, CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_words, CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct, CAST(len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|in|that|it|for|was)\b')) AS BIGINT) AS sw_en, CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|de|un|une|que|pour)\b')) AS BIGINT) AS sw_fr, CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|von|ein|eine|zu|mit)\b')) AS BIGINT) AS sw_de, CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|de|un|una|que|por)\b')) AS BIGINT) AS sw_es, length(text) AS n_chars FROM dd), s AS (SELECT doc_id, text, CASE WHEN greatest(sw_en, sw_fr, sw_de, sw_es) = 0 THEN 'und' WHEN sw_en = greatest(sw_en, sw_fr, sw_de, sw_es) THEN 'en' WHEN sw_fr = greatest(sw_en, sw_fr, sw_de, sw_es) THEN 'fr' WHEN sw_de = greatest(sw_en, sw_fr, sw_de, sw_es) THEN 'de' WHEN sw_es = greatest(sw_en, sw_fr, sw_de, sw_es) THEN 'es' ELSE 'und' END AS lang_guess, round(least(1.0, CAST(n_words AS DOUBLE) / 20.0) * 0.5 + (CASE WHEN n_words = 0 THEN 0.0 ELSE least(1.0, CAST(sw_en AS DOUBLE) / n_words * 5.0) END) * 0.3 + (CASE WHEN n_chars = 0 THEN 0.0 ELSE 1.0 - least(1.0, CAST(n_punct AS DOUBLE) / n_chars * 10.0) END) * 0.2, 6) AS quality_score FROM c), q1 AS (SELECT * FROM s WHERE quality_score >= 0.6), q2 AS (SELECT * FROM q1 WHERE lang_guess = 'en'), k AS (SELECT min(doc_id) AS doc_id FROM q2 GROUP BY md5(text)), d3 AS (SELECT q2.* FROM q2 JOIN k USING (doc_id)), d4 AS (SELECT * FROM d3 WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 700) SELECT doc_id, lang_guess, quality_score FROM d4""",
+    // per-stage surviving row counts of the same chain
+    "q62_curate_funnel" ->
+      """WITH dd AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000, text FROM documents), c AS (SELECT doc_id, text, CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_words, CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct, CAST(len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|in|that|it|for|was)\b')) AS BIGINT) AS sw_en, CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|de|un|une|que|pour)\b')) AS BIGINT) AS sw_fr, CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|von|ein|eine|zu|mit)\b')) AS BIGINT) AS sw_de, CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|de|un|una|que|por)\b')) AS BIGINT) AS sw_es, length(text) AS n_chars FROM dd), s AS (SELECT doc_id, text, CASE WHEN greatest(sw_en, sw_fr, sw_de, sw_es) = 0 THEN 'und' WHEN sw_en = greatest(sw_en, sw_fr, sw_de, sw_es) THEN 'en' WHEN sw_fr = greatest(sw_en, sw_fr, sw_de, sw_es) THEN 'fr' WHEN sw_de = greatest(sw_en, sw_fr, sw_de, sw_es) THEN 'de' WHEN sw_es = greatest(sw_en, sw_fr, sw_de, sw_es) THEN 'es' ELSE 'und' END AS lang_guess, round(least(1.0, CAST(n_words AS DOUBLE) / 20.0) * 0.5 + (CASE WHEN n_words = 0 THEN 0.0 ELSE least(1.0, CAST(sw_en AS DOUBLE) / n_words * 5.0) END) * 0.3 + (CASE WHEN n_chars = 0 THEN 0.0 ELSE 1.0 - least(1.0, CAST(n_punct AS DOUBLE) / n_chars * 10.0) END) * 0.2, 6) AS quality_score FROM c), q1 AS (SELECT * FROM s WHERE quality_score >= 0.6), q2 AS (SELECT * FROM q1 WHERE lang_guess = 'en'), k AS (SELECT min(doc_id) AS doc_id FROM q2 GROUP BY md5(text)), d3 AS (SELECT q2.* FROM q2 JOIN k USING (doc_id)), d4 AS (SELECT * FROM d3 WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 700) SELECT '0_input' AS stage, count(*) AS "rows" FROM dd UNION ALL SELECT '1_quality', count(*) FROM q1 UNION ALL SELECT '2_lang', count(*) FROM q2 UNION ALL SELECT '3_dedup', count(*) FROM d3 UNION ALL SELECT '4_sample', count(*) FROM d4"""
   )
 }

@@ -236,4 +236,46 @@ object Similarity {
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** SemDeDup-style semantic duplicate pairs (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication"):
+    * cluster the embeddings with the deterministic k-means index
+    * (`ivfAssign`) and compare cosine only WITHIN each cluster — the
+    * published recipe for making embedding-level dedup tractable at
+    * web scale, complementary to the sign-LSH buckets of `cosineNearDups`
+    * (k-means buckets adapt to the data's density; LSH buckets are
+    * data-independent).
+    *
+    * Scale shape: index build is the amortized one-off corpus scan ivfAssign
+    * documents; the pair stage is ONE equi-join on cluster id, so pairwise
+    * work is Σ_c |c|²/2 ≈ n·(n/nlist)/2 — `nlist` must grow with the corpus
+    * (n/nlist ≈ target cluster size) exactly like `planesForCount` grows
+    * LSH planes. Cross-cluster near-dup pairs are missed by construction;
+    * that is SemDeDup's documented recall trade-off, bounded in OpsSpec by
+    * recall-vs-exact at toy scale.
+    */
+  def semDedupPairs(df: DataFrame, tau: Double, nlist: Int, iters: Int = 3,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (assigned, _) = ivfAssign(df, nlist, iters, idCol, vecCol)
+    val a = assigned.select(col("cluster"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = assigned.select(col("cluster"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
+  /** SemDeDup projection: drop all but one deterministic representative per
+    * semantic-duplicate cluster. Pairs above `tau` become connected
+    * components (Dedup.connectedComponents — distributed min-label
+    * propagation, no driver state) and the min-id member of each component
+    * survives — the same keeper rule as every other dedup op here, chosen
+    * for determinism over the paper's low-centroid-similarity keeper (which
+    * ties to a specific index state and is retry-unstable under
+    * re-clustering).
+    */
+  def semDedup(df: DataFrame, tau: Double, nlist: Int, iters: Int = 3,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    Dedup.dropByClusters(df, semDedupPairs(df, tau, nlist, iters, idCol, vecCol),
+      idCol)
 }

@@ -167,6 +167,27 @@ class PlanSpec extends SparkSpec {
       s"q59 must be agg→broadcast rates→map-side filter:\n$p")
   }
 
+  test("q60 semdedup pairs stay cluster-bounded — equi-join, never all-pairs") {
+    // the pair stage must be an equi-join on the k-means cluster id; an
+    // all-pairs cross join is the 100 TB killer this operator exists to
+    // avoid (label propagation's own joins are equi-joins on id)
+    val p = plan(SparkEntry.queries("q60_semdedup")(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop") && !p.contains("Window"),
+      s"q60 must never compare across clusters:\n$p")
+  }
+
+  test("q61 curate chain: one content shuffle, filters fused with the scan") {
+    // quality + language are row filters Catalyst fuses into the scan
+    // projection; the only by-content shuffle is the dedup's md5 groupBy
+    // (plus the id semi-join back). No window, no cartesian, and the
+    // sample stage adds no exchange of its own.
+    val p = plan(SparkEntry.queries("q61_curate")(spark, dir))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop") && p.contains("HashAggregate"),
+      s"q61 must be filter→hash-dedup→filter:\n$p")
+  }
+
   test("multimodal resize is a single pass — no Exchange, no Join") {
     // Round 3 re-attached resized payloads via a self-join on media_id:
     // the whole table shuffled twice. One mapPartitions carrying all

@@ -16,6 +16,18 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("oracle SQL carries no control characters (escape-processing trap)") {
+    // `s"""…"""` INTERPOLATED strings process \b/\f escapes even in triple
+    // quotes (plain """…""" strings don't) — a regex word boundary written
+    // \b in the wrong string kind silently becomes a BACKSPACE byte, the
+    // oracle matches nothing, and only the DuckDB gate would notice.
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      val ctl = sql.filter(c => c < ' ' && c != '\n')
+      assert(ctl.isEmpty,
+        s"$name oracle contains control bytes ${ctl.map(_.toInt).toSeq}")
+    }
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs on sf0.001") {
       val n = fn(spark, dir).count()

@@ -501,6 +501,77 @@ class OpsSpec extends SparkSpec {
     assert(got(2L) > got(1L) * 0.9)
   }
 
+  test("semdedup: nlist=1 equals exact pairs; clustered ⊆ exact; deterministic keeper") {
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, (0 until 16).map(d => math.sin(i * 0.37 + d * 1.13).toFloat).toArray)
+    }.toDF("vec_id", "embedding").cache()
+    val tau = 0.95
+    val exactPairs = Similarity.cosineNearDupsExact(vecs, tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.nonEmpty, "fixture must contain semantic near-dups")
+    // one cluster = every pair compared: identical to the exact cross join
+    val oneCluster = Similarity.semDedupPairs(vecs, tau, nlist = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(oneCluster == exactPairs)
+    // k-means bucketing can only MISS cross-cluster pairs, never invent
+    val clustered = Similarity.semDedupPairs(vecs, tau, nlist = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(clustered.subsetOf(exactPairs))
+    val recall = clustered.size.toDouble / exactPairs.size
+    assert(recall >= 0.5, s"semdedup recall $recall")
+    // projection: deterministic, partition-invariant, min-id keepers survive
+    val kept1 = Similarity.semDedup(vecs, tau, nlist = 6)
+      .select($"vec_id").as[Long].collect().toSet
+    val kept2 = Similarity.semDedup(vecs.repartition(13), tau, nlist = 6)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept1 == kept2)
+    // some row was dropped; no surviving pair is still near-duplicate
+    // (keeper = component MINIMUM, so a pair's min member may itself be
+    // dropped when a smaller id lives elsewhere in the same component);
+    // rows in no pair are untouched
+    assert(kept1.size < 200 && kept1.nonEmpty)
+    clustered.foreach { case (a, b) =>
+      assert(!(kept1.contains(a) && kept1.contains(b)), s"kept both of ($a,$b)") }
+    val inPairs = clustered.flatMap(p => Seq(p._1, p._2))
+    assert((0L until 200L).toSet.diff(inPairs).subsetOf(kept1))
+    vecs.unpersist()
+  }
+
+  test("curate chain: stage-by-stage equality with standalone ops; funnel counts") {
+    // 30 docs: ids 0-9 junk (no stopwords, heavy punctuation), 10-19 English,
+    // 20-29 French; each English doc duplicated once under id+100
+    val junk = (0 until 10).map(i => (i.toLong, s"!!! ??? ### $i%%% &&&"))
+    val en = (10 until 20).map(i =>
+      (i.toLong, s"the quick fox $i and it is of interest to the reader for sure"))
+    val fr = (20 until 30).map(i =>
+      (i.toLong, s"le chat $i est un animal et la maison que pour une personne"))
+    val dupEn = en.map { case (i, t) => (i + 100L, t) }
+    val df = (junk ++ en ++ fr ++ dupEn).toDF("doc_id", "text")
+    val cfg = Curate.Config(minQuality = 0.5, langs = Seq("en"),
+      samplePermille = 600)
+    val out = Curate.curate(df, cfg = cfg).cache()
+    // junk filtered by quality, French by language, dup ids by dedup keeper
+    val ids = out.select($"doc_id").as[Long].collect().toSet
+    assert(ids.forall(i => i >= 10 && i < 20), s"survivors: $ids")
+    // survivors = exactly the en docs passing the 600-permille hash rule
+    val manual = en.toDF("doc_id", "text")
+      .filter(Sampling.hashBucket($"doc_id", 1000) < 600)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ids == manual)
+    // output carries lang_guess + quality_score alongside original columns
+    assert(out.columns.toSeq == Seq("doc_id", "text", "lang_guess", "quality_score"))
+    assert(out.select($"lang_guess").distinct().as[String].collect().toSeq == Seq("en"))
+    // funnel: monotone counts matching each stage
+    val f = Curate.funnel(df, cfg = cfg).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(f("0_input") == 40L)
+    assert(f("1_quality") == 30L) // junk dropped (score < 0.5)
+    assert(f("2_lang") == 20L)    // french dropped
+    assert(f("3_dedup") == 10L)   // en dups collapsed
+    assert(f("4_sample") == ids.size.toLong)
+    out.unpersist()
+  }
+
   test("multimodal plumbing: stub decode, corrupt rows quarantined, sampling") {
     val media = Multimodal.syntheticMedia(spark, 100)
     assert(media.schema.fieldNames.toSeq ==
