@@ -509,7 +509,23 @@ object SparkEntry {
     // ── the same chain's audit funnel: per-stage surviving row counts ──
     "q62_curate_funnel" -> ((s, dir) =>
       Curate.funnel(doubledDocs(s, dir), cfg = Curate.Config(
-        minQuality = 0.6, langs = Seq("en"), samplePermille = 700)))
+        minQuality = 0.6, langs = Seq("en"), samplePermille = 700))),
+
+    // ── training-data curation: sequence packing (concat-and-fill group
+    // assignment — per-shard cumulative token offsets → pack ids) ──
+    "q63_pack" -> ((s, dir) =>
+      TextOps.packSequences(t(s, dir, "documents"), "doc_id", "text",
+        tokensPerPack = 64, nShards = 8)
+        .select(col("doc_id"), col("shard"), col("pack"), col("n_tokens"))),
+
+    // ── corpus reporting: per-source data-card profile ──
+    "q64_profile" -> ((s, dir) =>
+      Stats.corpusProfile(t(s, dir, "documents"))),
+
+    // ── corpus reporting: token-length histogram (fixed bins, clamped) ──
+    "q65_histogram" -> ((s, dir) =>
+      Stats.tokenLengthHistogram(t(s, dir, "documents"), binWidth = 10,
+        maxBins = 20))
   )
 
   /** documents ∪ (documents with ids shifted by 1e6): every text occurs
@@ -694,6 +710,18 @@ object SparkEntry {
       """WITH dd AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000, text FROM documents), c AS (SELECT doc_id, text, CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_words, CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct, CAST(len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|in|that|it|for|was)\b')) AS BIGINT) AS sw_en, CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|de|un|une|que|pour)\b')) AS BIGINT) AS sw_fr, CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|von|ein|eine|zu|mit)\b')) AS BIGINT) AS sw_de, CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|de|un|una|que|por)\b')) AS BIGINT) AS sw_es, length(text) AS n_chars FROM dd), s AS (SELECT doc_id, text, CASE WHEN greatest(sw_en, sw_fr, sw_de, sw_es) = 0 THEN 'und' WHEN sw_en = greatest(sw_en, sw_fr, sw_de, sw_es) THEN 'en' WHEN sw_fr = greatest(sw_en, sw_fr, sw_de, sw_es) THEN 'fr' WHEN sw_de = greatest(sw_en, sw_fr, sw_de, sw_es) THEN 'de' WHEN sw_es = greatest(sw_en, sw_fr, sw_de, sw_es) THEN 'es' ELSE 'und' END AS lang_guess, round(least(1.0, CAST(n_words AS DOUBLE) / 20.0) * 0.5 + (CASE WHEN n_words = 0 THEN 0.0 ELSE least(1.0, CAST(sw_en AS DOUBLE) / n_words * 5.0) END) * 0.3 + (CASE WHEN n_chars = 0 THEN 0.0 ELSE 1.0 - least(1.0, CAST(n_punct AS DOUBLE) / n_chars * 10.0) END) * 0.2, 6) AS quality_score FROM c), q1 AS (SELECT * FROM s WHERE quality_score >= 0.6), q2 AS (SELECT * FROM q1 WHERE lang_guess = 'en'), k AS (SELECT min(doc_id) AS doc_id FROM q2 GROUP BY md5(text)), d3 AS (SELECT q2.* FROM q2 JOIN k USING (doc_id)), d4 AS (SELECT * FROM d3 WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 700) SELECT doc_id, lang_guess, quality_score FROM d4""",
     // per-stage surviving row counts of the same chain
     "q62_curate_funnel" ->
-      """WITH dd AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000, text FROM documents), c AS (SELECT doc_id, text, CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_words, CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct, CAST(len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|in|that|it|for|was)\b')) AS BIGINT) AS sw_en, CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|de|un|une|que|pour)\b')) AS BIGINT) AS sw_fr, CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|von|ein|eine|zu|mit)\b')) AS BIGINT) AS sw_de, CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|de|un|una|que|por)\b')) AS BIGINT) AS sw_es, length(text) AS n_chars FROM dd), s AS (SELECT doc_id, text, CASE WHEN greatest(sw_en, sw_fr, sw_de, sw_es) = 0 THEN 'und' WHEN sw_en = greatest(sw_en, sw_fr, sw_de, sw_es) THEN 'en' WHEN sw_fr = greatest(sw_en, sw_fr, sw_de, sw_es) THEN 'fr' WHEN sw_de = greatest(sw_en, sw_fr, sw_de, sw_es) THEN 'de' WHEN sw_es = greatest(sw_en, sw_fr, sw_de, sw_es) THEN 'es' ELSE 'und' END AS lang_guess, round(least(1.0, CAST(n_words AS DOUBLE) / 20.0) * 0.5 + (CASE WHEN n_words = 0 THEN 0.0 ELSE least(1.0, CAST(sw_en AS DOUBLE) / n_words * 5.0) END) * 0.3 + (CASE WHEN n_chars = 0 THEN 0.0 ELSE 1.0 - least(1.0, CAST(n_punct AS DOUBLE) / n_chars * 10.0) END) * 0.2, 6) AS quality_score FROM c), q1 AS (SELECT * FROM s WHERE quality_score >= 0.6), q2 AS (SELECT * FROM q1 WHERE lang_guess = 'en'), k AS (SELECT min(doc_id) AS doc_id FROM q2 GROUP BY md5(text)), d3 AS (SELECT q2.* FROM q2 JOIN k USING (doc_id)), d4 AS (SELECT * FROM d3 WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 700) SELECT '0_input' AS stage, count(*) AS "rows" FROM dd UNION ALL SELECT '1_quality', count(*) FROM q1 UNION ALL SELECT '2_lang', count(*) FROM q2 UNION ALL SELECT '3_dedup', count(*) FROM d3 UNION ALL SELECT '4_sample', count(*) FROM d4"""
+      """WITH dd AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000, text FROM documents), c AS (SELECT doc_id, text, CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_words, CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct, CAST(len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|in|that|it|for|was)\b')) AS BIGINT) AS sw_en, CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|de|un|une|que|pour)\b')) AS BIGINT) AS sw_fr, CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|von|ein|eine|zu|mit)\b')) AS BIGINT) AS sw_de, CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|de|un|una|que|por)\b')) AS BIGINT) AS sw_es, length(text) AS n_chars FROM dd), s AS (SELECT doc_id, text, CASE WHEN greatest(sw_en, sw_fr, sw_de, sw_es) = 0 THEN 'und' WHEN sw_en = greatest(sw_en, sw_fr, sw_de, sw_es) THEN 'en' WHEN sw_fr = greatest(sw_en, sw_fr, sw_de, sw_es) THEN 'fr' WHEN sw_de = greatest(sw_en, sw_fr, sw_de, sw_es) THEN 'de' WHEN sw_es = greatest(sw_en, sw_fr, sw_de, sw_es) THEN 'es' ELSE 'und' END AS lang_guess, round(least(1.0, CAST(n_words AS DOUBLE) / 20.0) * 0.5 + (CASE WHEN n_words = 0 THEN 0.0 ELSE least(1.0, CAST(sw_en AS DOUBLE) / n_words * 5.0) END) * 0.3 + (CASE WHEN n_chars = 0 THEN 0.0 ELSE 1.0 - least(1.0, CAST(n_punct AS DOUBLE) / n_chars * 10.0) END) * 0.2, 6) AS quality_score FROM c), q1 AS (SELECT * FROM s WHERE quality_score >= 0.6), q2 AS (SELECT * FROM q1 WHERE lang_guess = 'en'), k AS (SELECT min(doc_id) AS doc_id FROM q2 GROUP BY md5(text)), d3 AS (SELECT q2.* FROM q2 JOIN k USING (doc_id)), d4 AS (SELECT * FROM d3 WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 700) SELECT '0_input' AS stage, count(*) AS "rows" FROM dd UNION ALL SELECT '1_quality', count(*) FROM q1 UNION ALL SELECT '2_lang', count(*) FROM q2 UNION ALL SELECT '3_dedup', count(*) FROM d3 UNION ALL SELECT '4_sample', count(*) FROM d4""",
+    // per-shard cumulative-sum window: DuckDB's default ORDER BY frame
+    // (unbounded preceding..current row) matches Spark's; ids are unique so
+    // RANGE vs ROWS cannot differ; floor((long-long)/64.0) on identical
+    // IEEE doubles both sides
+    "q63_pack" ->
+      """WITH d AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens, CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard FROM documents) SELECT doc_id, shard, CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens) / 64.0) AS BIGINT) AS pack, n_tokens FROM d""",
+    // sums cast to BIGINT (DuckDB sum(BIGINT) widens to HUGEINT); mean is
+    // one fixed-order double division rounded 6dp on both engines
+    "q64_profile" ->
+      """SELECT source, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens, round(CAST(sum(n) AS DOUBLE) / count(*), 6) AS mean_tokens, max(n) AS max_tokens, CAST(sum(c) AS BIGINT) AS total_chars FROM (SELECT source, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n, CAST(length(text) AS BIGINT) AS c FROM documents) t GROUP BY source""",
+    "q65_histogram" ->
+      """SELECT bin, CAST(bin * 10 AS BIGINT) AS bin_lo, count(*) AS n_docs FROM (SELECT least(CAST(floor(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) / 10.0) AS BIGINT), CAST(19 AS BIGINT)) AS bin FROM documents) t GROUP BY bin"""
   )
 }

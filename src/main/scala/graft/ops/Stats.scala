@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus profiling — the "data card" reporting stage of a training-data
+  * pipeline: per-source composition and token-length shape, published next
+  * to every curated snapshot. Pure aggregates (one hash shuffle whose
+  * output is bounded by #sources / #bins, never corpus size), all
+  * arithmetic fixed-order and 6-dp-rounded so the DuckDB oracle replays it
+  * exactly.
+  */
+object Stats {
+
+  private def nTok(textCol: String) =
+    size(regexp_extract_all(col(textCol), lit("""\S+"""), lit(0))).cast("long")
+
+  /** Per-source profile: docs, token totals, mean/max tokens, chars. */
+  def corpusProfile(df: DataFrame, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame =
+    df.select(col(sourceCol).as("source"), nTok(textCol).as("n"),
+        length(col(textCol)).cast("long").as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_tokens"),
+        round(sum(col("n")).cast("double") / count(lit(1)), 6)
+          .as("mean_tokens"),
+        max(col("n")).as("max_tokens"),
+        sum(col("c")).as("total_chars"))
+
+  /** Fixed-width token-length histogram: bin = floor(n_tokens / binWidth),
+    * overflow clamped into the last bin. Emits only non-empty bins (join
+    * against a bin spine downstream if dense output is needed).
+    */
+  def tokenLengthHistogram(df: DataFrame, textCol: String = "text",
+      binWidth: Int = 10, maxBins: Int = 20): DataFrame = {
+    require(binWidth >= 1 && maxBins >= 1)
+    df.select(least(floor(nTok(textCol) / lit(binWidth.toDouble)),
+        lit(maxBins - 1L)).cast("long").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("bin_lo", (col("bin") * binWidth).cast("long"))
+      .select(col("bin"), col("bin_lo"), col("n_docs"))
+  }
+}

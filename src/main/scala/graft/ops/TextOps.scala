@@ -61,4 +61,39 @@ object TextOps {
       .withColumn("n_tokens",
         size(split(col("chunk"), """\s+""")))
   }
+
+  /** Sequence packing (the GPT-style "concatenate then fill" recipe):
+    * documents are concatenated into a deterministic per-shard stream and
+    * each doc is assigned the fixed-token-budget pack its FIRST token
+    * falls into — pack = floor(start_offset / tokensPerPack), start_offset
+    * = running token total of all earlier docs in the shard. Docs may
+    * straddle pack boundaries (q56's chunker splits them downstream); what
+    * this operator provides is the deterministic grouping that fills every
+    * training sequence to the budget with no per-pack fragmentation loss.
+    *
+    * Scale shape: the only shuffle is the hash repartition to `nShards`
+    * md5 shards; the running total is a cumulative-sum window ordered by id
+    * WITHIN each shard, so per-task state is one counter and nShards just
+    * has to exceed the cluster's parallelism (packing quality is
+    * unaffected — every shard's packs are internally dense). Shard and
+    * order are pure functions of the ids: partition/retry-stable,
+    * engine-replayable.
+    *
+    * @return (idCol, shard, pack, n_tokens)
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      tokensPerPack: Int, nShards: Int): DataFrame = {
+    require(tokensPerPack >= 1 && nShards >= 1)
+    val nTok = size(regexp_extract_all(col(textCol), lit("""\S+"""), lit(0)))
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(idCol))
+    df.select(col(idCol), nTok.as("n_tokens"),
+        Sampling.hashBucket(col(idCol), nShards).as("shard"))
+      // both engines evaluate floor((long - long) / double) on identical
+      // IEEE doubles; all offsets nonnegative, so floor ≡ truncation
+      .withColumn("pack",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) /
+          lit(tokensPerPack.toDouble)).cast("long"))
+  }
 }

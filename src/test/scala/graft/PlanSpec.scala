@@ -188,6 +188,21 @@ class PlanSpec extends SparkSpec {
       s"q61 must be filter→hash-dedup→filter:\n$p")
   }
 
+  test("q63 packing shuffles once by shard; q64/q65 are single aggregates") {
+    // packing's only shuffle is the hash exchange to shards; the running
+    // total is a per-shard window (bounded state), never a join
+    val p63 = plan(SparkEntry.queries("q63_pack")(spark, dir))
+    assert(p63.contains("Window") && !p63.contains("Join") &&
+      p63.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+      s"q63 must be one shard exchange + per-shard window:\n$p63")
+    val p64 = plan(SparkEntry.queries("q64_profile")(spark, dir))
+    assert(p64.contains("HashAggregate") && !p64.contains("Join") &&
+      !p64.contains("Window"), s"q64 must be one hash aggregate:\n$p64")
+    val p65 = plan(SparkEntry.queries("q65_histogram")(spark, dir))
+    assert(p65.contains("HashAggregate") && !p65.contains("Join") &&
+      !p65.contains("Window"), s"q65 must be one hash aggregate:\n$p65")
+  }
+
   test("multimodal resize is a single pass — no Exchange, no Join") {
     // Round 3 re-attached resized payloads via a self-join on media_id:
     // the whole table shuffled twice. One mapPartitions carrying all

@@ -572,6 +572,64 @@ class OpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("sequence packing: exact local replay, partition invariance, dense packs") {
+    val docs = (0 until 100).map(i => (i.toLong, ("w " * (i % 13 + 1)).trim))
+    val df = docs.toDF("doc_id", "text")
+    val got = TextOps.packSequences(df, "doc_id", "text",
+      tokensPerPack = 16, nShards = 4).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+        r.getAs[Long]("pack"), r.getAs[Long]("n_tokens"))).toSet
+    // single-threaded reference: md5-prefix shard, per-shard id-ordered
+    // cumulative offsets, pack = floor(start / budget)
+    def shardOf(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.take(4).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 4
+    }
+    val want = docs.map { case (id, text) =>
+      (id, shardOf(id), text.split("\\s+").count(_.nonEmpty).toLong)
+    }.groupBy(_._2).flatMap { case (shard, rows) =>
+      var off = 0L
+      rows.sortBy(_._1).map { case (id, _, n) =>
+        val pack = off / 16; off += n; (id, shard, pack, n)
+      }
+    }.toSet
+    assert(got == want)
+    // shard/order are pure id functions: repartitioning changes nothing
+    val again = TextOps.packSequences(df.repartition(17), "doc_id", "text",
+      tokensPerPack = 16, nShards = 4).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+        r.getAs[Long]("pack"), r.getAs[Long]("n_tokens"))).toSet
+    assert(again == got)
+    // packs are dense: within a shard every pack index up to max appears
+    got.groupBy(_._2).foreach { case (shard, rows) =>
+      val packs = rows.map(_._3)
+      assert((0L to packs.max).toSet == packs,
+        s"shard $shard has gaps: $packs")
+    }
+  }
+
+  test("corpus profile and token histogram match a hand-computed corpus") {
+    val df = Seq(
+      ("a", "one two three"), ("a", ""),
+      ("b", Seq.fill(250)("x").mkString(" "))).toDF("source", "text")
+    val prof = Stats.corpusProfile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(prof("a").getAs[Long]("n_docs") == 2L)
+    assert(prof("a").getAs[Long]("total_tokens") == 3L)
+    assert(prof("a").getAs[Double]("mean_tokens") == 1.5)
+    assert(prof("a").getAs[Long]("max_tokens") == 3L)
+    assert(prof("a").getAs[Long]("total_chars") == 13L)
+    assert(prof("b").getAs[Long]("total_tokens") == 250L)
+    // histogram: 0-token and 3-token docs in bin 0; 250 tokens clamps into
+    // the overflow bin 19 (bin_lo 190)
+    val hist = Stats.tokenLengthHistogram(df, binWidth = 10, maxBins = 20)
+      .collect().map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Long]("bin_lo"), r.getAs[Long]("n_docs"))).toMap
+    assert(hist == Map(0L -> (0L, 2L), 19L -> (190L, 1L)))
+  }
+
   test("multimodal plumbing: stub decode, corrupt rows quarantined, sampling") {
     val media = Multimodal.syntheticMedia(spark, 100)
     assert(media.schema.fieldNames.toSeq ==
