@@ -49,13 +49,17 @@ import org.apache.spark.sql.functions.{col, max, xxhash64}
   */
 object Bench {
 
-  // Heavy pairwise queries excluded; these are the operator headline set.
+  // Heavy pairwise queries excluded; these are the operator headline set
+  // (q58/q61/q63 added in round 4 so the curation-suite shapes — explode→
+  // agg→join line dedup, the composed filter→dedup→sample chain, and the
+  // shard-window packing — report next to the original operator families).
   private val headline = Seq(
     "q01_rollup_counts", "q02_json_parse", "q04_filter_in", "q05_match_any",
     "q07_enrich_bcast", "q08_join_large", "q09_anti_join", "q11_distinct_sets",
     "q13_topk", "q17_dedup_replace", "q19_dedup_exact", "q22_minhash_lsh",
     "q24_ann_brute", "q26_langid", "q28_token_counts", "q29_fingerprint",
-    "q43_match_phrase", "q44_match_quorum", "q47_hash_sample")
+    "q43_match_phrase", "q44_match_quorum", "q47_hash_sample",
+    "q58_line_dedup", "q61_curate", "q63_pack")
 
   /** Bench working set lives on tmpfs when available: a real N/4N-executor
     * cluster has per-executor local disks, so the sandbox's ONE shared

@@ -525,8 +525,38 @@ object SparkEntry {
     // ── corpus reporting: token-length histogram (fixed bins, clamped) ──
     "q65_histogram" -> ((s, dir) =>
       Stats.tokenLengthHistogram(t(s, dir, "documents"), binWidth = 10,
-        maxBins = 20))
+        maxBins = 20)),
+
+    // ── training-data curation: incremental cross-snapshot dedup — the
+    // steady-state ingest shape (dedup a new batch against the existing
+    // corpus via its 16-byte hash sidecar; corpus text never moves) ──
+    "q66_dedup_incremental" -> ((s, dir) =>
+      Dedup.dropSeenExact(incrementalBatch(s, dir), t(s, dir, "documents"),
+        "doc_id", "text").select(col("doc_id"))),
+
+    // ── the near-dup variant: batch rows minhash-banding into a reference
+    // bucket with verified Jaccard ≥ t are dropped (rows-only — LSH; the
+    // planted recall/survival properties live in OpsSpec) ──
+    "q67_neardup_incremental" -> ((s, dir) =>
+      Dedup.dropSeenNearDup(incrementalBatch(s, dir), t(s, dir, "documents"),
+        "doc_id", "text", threshold = 0.6).select(col("doc_id")))
   )
+
+  /** Synthetic "next ingest batch" for q66/q67: a third of the corpus
+    * re-arrives verbatim under fresh ids (must be dropped), another third
+    * arrives with its word order reversed — new exact content (q66 keeps
+    * it) that is also NOT a 3-shingle near-dup of the original (q67 keeps
+    * most of it). Mirrored verbatim in the q66 oracle SQL.
+    */
+  private def incrementalBatch(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.filter(col("doc_id") % 3 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      .unionByName(
+        d.filter(col("doc_id") % 3 === 1)
+          .withColumn("doc_id", col("doc_id") + lit(2000000L))
+          .withColumn("text", concat_ws(" ", reverse(split(col("text"), " ")))))
+  }
 
   /** documents ∪ (documents with ids shifted by 1e6): every text occurs
     * exactly twice under distinct ids, so the q61/q62 dedup stage does real
@@ -721,6 +751,8 @@ object SparkEntry {
     // one fixed-order double division rounded 6dp on both engines
     "q64_profile" ->
       """SELECT source, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens, round(CAST(sum(n) AS DOUBLE) / count(*), 6) AS mean_tokens, max(n) AS max_tokens, CAST(sum(c) AS BIGINT) AS total_chars FROM (SELECT source, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n, CAST(length(text) AS BIGINT) AS c FROM documents) t GROUP BY source""",
+    "q66_dedup_incremental" ->
+      """WITH batch AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0 UNION ALL SELECT doc_id + 2000000, array_to_string(list_reverse(string_split(text, ' ')), ' ') FROM documents WHERE doc_id % 3 = 1) SELECT doc_id FROM batch WHERE md5(text) NOT IN (SELECT md5(text) FROM documents)""",
     "q65_histogram" ->
       """SELECT bin, CAST(bin * 10 AS BIGINT) AS bin_lo, count(*) AS n_docs FROM (SELECT least(CAST(floor(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) / 10.0) AS BIGINT), CAST(19 AS BIGINT)) AS bin FROM documents) t GROUP BY bin"""
   )

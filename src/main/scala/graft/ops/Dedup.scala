@@ -305,6 +305,61 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Incremental (cross-snapshot) EXACT dedup: drop new-batch rows whose
+    * content hash already exists in the curated reference corpus — the
+    * steady-state ingest shape at 100 TB, where re-deduplicating the whole
+    * corpus per arriving batch is impossible. The reference contributes
+    * ONLY its distinct 16-byte md5 hashes (a sidecar any snapshot can
+    * precompute and persist once); the batch anti-joins on the hash, so the
+    * reference's text bytes never move and the shuffle is bounded by
+    * |ref| × 16 B + |batch|. Batch-internal duplicates are untouched —
+    * compose with `dropExactDuplicates` for within-batch collapse.
+    */
+  def dropSeenExact(batch: DataFrame, ref: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val seen = ref.select(md5(col(textCol)).as("__h")).distinct()
+    batch.withColumn("__h", md5(col(textCol)))
+      .join(seen, Seq("__h"), "left_anti")
+      .drop("__h")
+  }
+
+  /** Incremental NEAR-dup dedup: drop new-batch rows whose verified shingle
+    * Jaccard against ANY reference document reaches `threshold`, using the
+    * same minhash/band/bucket machinery as `minhashNearDups` but across the
+    * two tables — candidates are (batch, ref) band-bucket collisions only,
+    * so the comparison count is LSH-bounded, never |batch|×|ref|. The
+    * reference's banding + shingle hashes are recomputed here for
+    * self-containment; a production deployment persists them as snapshot
+    * sidecars and this function's plan shape is unchanged.
+    */
+  def dropSeenNearDup(batch: DataFrame, ref: DataFrame, idCol: String,
+                      textCol: String, shingleN: Int = 3, k: Int = 48,
+                      bands: Int = 16, threshold: Double = 0.6): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    def prep(df: DataFrame): (DataFrame, DataFrame) = {
+      val hashed = df.select(col(idCol).as("id"),
+        shingleHashes(col(textCol), shingleN).as("shh"))
+      val banded = hashed.withColumn("sig", minhashSig(col("shh"), k))
+        .select(col("id"), posexplode(array((0 until bands).map(bd =>
+          xxhash64(slice(col("sig"), bd * r + 1, r), lit(bd))): _*))
+          .as(Seq("band", "bucket")))
+      (hashed, banded)
+    }
+    val (bHashed, bBanded) = prep(batch)
+    val (rHashed, rBanded) = prep(ref)
+    val cands = bBanded.select(col("band"), col("bucket"), col("id").as("bid"))
+      .join(rBanded.select(col("band"), col("bucket"), col("id").as("rid")),
+        Seq("band", "bucket"))
+      .select(col("bid"), col("rid")).distinct()
+    val dupIds = cands
+      .join(bHashed.select(col("id").as("bid"), col("shh").as("sh_b")), Seq("bid"))
+      .join(rHashed.select(col("id").as("rid"), col("shh").as("sh_r")), Seq("rid"))
+      .filter(jaccard(col("sh_b"), col("sh_r")) >= threshold)
+      .select(col("bid").as(idCol)).distinct()
+    batch.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** n-gram Jaccard similarity for explicit candidate pairs (brute variant
     * used as the LSH recall oracle in tests; bounded by `sampleMod` so the
     * pair count stays ~|df|²/mod). Test-oracle only — the postings join

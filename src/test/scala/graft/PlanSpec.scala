@@ -203,6 +203,17 @@ class PlanSpec extends SparkSpec {
       !p65.contains("Window"), s"q65 must be one hash aggregate:\n$p65")
   }
 
+  test("q66/q67 incremental dedup: hash anti-join / banded candidates, no cartesian") {
+    val p66 = plan(SparkEntry.queries("q66_dedup_incremental")(spark, dir))
+    assert(!p66.contains("CartesianProduct") &&
+      !p66.contains("BroadcastNestedLoop") && !p66.contains("Window"),
+      s"q66 must be an md5 anti-join:\n$p66")
+    val p67 = plan(SparkEntry.queries("q67_neardup_incremental")(spark, dir))
+    assert(!p67.contains("CartesianProduct") &&
+      !p67.contains("BroadcastNestedLoop") && !p67.contains("Window"),
+      s"q67 must stay LSH-bucketed:\n$p67")
+  }
+
   test("multimodal resize is a single pass — no Exchange, no Join") {
     // Round 3 re-attached resized payloads via a self-join on media_id:
     // the whole table shuffled twice. One mapPartitions carrying all

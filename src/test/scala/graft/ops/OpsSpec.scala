@@ -572,6 +572,31 @@ class OpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("incremental dedup: seen content dropped, new kept, near-dup variant catches edits") {
+    def baseText(i: Int) =
+      (0 until 30).map(j => s"w${(i * 31 + j * 7) % 500}").mkString(" ")
+    val batch = Seq(
+      (5000L, baseText(0)), (5001L, baseText(1)), (5002L, baseText(2)), // re-arrivals
+      (6000L, baseText(5).split(" ").dropRight(2).mkString(" ") + " zq"),  // edits
+      (6001L, baseText(10).split(" ").dropRight(2).mkString(" ") + " zq"),
+      (7000L, (0 until 30).map(j => s"nv$j").mkString(" ")),              // novel
+      (7001L, (0 until 30).map(j => s"nw$j").mkString(" "))
+    ).toDF("doc_id", "text")
+    // exact: only byte-identical content is "seen"; edits and novels pass
+    val kept = Dedup.dropSeenExact(batch, docs, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(6000L, 6001L, 7000L, 7001L))
+    // near-dup: re-arrivals (jaccard 1) AND light edits (shared shingles)
+    // are seen; novel docs (zero shared shingles) always survive
+    val keptNear = Dedup.dropSeenNearDup(batch, docs, "doc_id", "text",
+      threshold = 0.5).select($"doc_id").as[Long].collect().toSet
+    assert(keptNear == Set(7000L, 7001L), s"near-dup kept: $keptNear")
+    // pure content functions: partition-invariant
+    val again = Dedup.dropSeenExact(batch.repartition(7), docs, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again == kept)
+  }
+
   test("sequence packing: exact local replay, partition invariance, dense packs") {
     val docs = (0 until 100).map(i => (i.toLong, ("w " * (i % 13 + 1)).trim))
     val df = docs.toDF("doc_id", "text")
