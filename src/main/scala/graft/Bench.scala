@@ -59,7 +59,10 @@ object Bench {
     "q13_topk", "q17_dedup_replace", "q19_dedup_exact", "q22_minhash_lsh",
     "q24_ann_brute", "q26_langid", "q28_token_counts", "q29_fingerprint",
     "q43_match_phrase", "q44_match_quorum", "q47_hash_sample",
-    "q58_line_dedup", "q61_curate", "q63_pack")
+    "q58_line_dedup", "q61_curate", "q63_pack",
+    // round-4 conversation-level ops: one-shuffle assemble, the
+    // single-window sessionizer, and the explode→agg→topk heavy hitters
+    "q68_assemble", "q69_sessionize", "q71_top_terms")
 
   /** Bench working set lives on tmpfs when available: a real N/4N-executor
     * cluster has per-executor local disks, so the sandbox's ONE shared

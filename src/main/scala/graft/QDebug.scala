@@ -1,10 +1,15 @@
 package graft
 
 import graft.ops._
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scratch profiler for individual operator queries (tuning tool). */
+/** Scratch profiler for individual operator queries (tuning tool).
+  * Current experiment: where does lang-id / q61 time go — repeated
+  * regex-count subtrees (does codegen CSE dedupe them?), the
+  * regexp_extract_all array allocation vs regexp_count, and the curate
+  * chain end-to-end.
+  */
 object QDebug {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -21,43 +26,51 @@ object QDebug {
       val r = f
       println(f"QDEBUG $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($r)")
     }
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+    // inflate ×20 for signal (sf0.1 = 5k docs → 100k rows)
+    val docs = (0 until 20).map(i =>
+      docs0.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_.unionByName(_)).localCheckpoint()
+    timed("scan_only")(docs.count())
 
-    val hashed = docs.select(col("doc_id").as("id"),
-      Dedup.shingleHashes(col("text"), 3).as("shh"))
-    timed("hash_only")(hashed.count())
-    val withSig = hashed.withColumn("sig", Dedup.minhashSig(col("shh"), 32))
-    timed("sig")(withSig.count())
-    val r = 4
-    val banded = withSig.select(col("id"),
-      posexplode(array((0 until 8).map(bd =>
-        xxhash64(slice(col("sig"), bd * r + 1, r), lit(bd))): _*))
-        .as(Seq("band", "bucket")))
-    timed("banded")(banded.count())
-    val banded2 = withSig
-      .withColumn("bandkeys", array((0 until 8).map(bd =>
-        xxhash64(slice(col("sig"), bd * r + 1, r), lit(bd))): _*))
-      .select(col("id"), posexplode(col("bandkeys")).as(Seq("band", "bucket")))
-    timed("banded2_column_first")(banded2.count())
-    val sigMat = withSig.localCheckpoint()
-    timed("banded_after_ckpt") {
-      sigMat.select(col("id"),
-        posexplode(array((0 until 8).map(bd =>
-          xxhash64(slice(col("sig"), bd * r + 1, r), lit(bd))): _*))
-          .as(Seq("band", "bucket"))).count()
+    def hitsEx(c: Column, pat: String): Column =
+      size(regexp_extract_all(lower(c), lit(pat), lit(0)))
+    def hitsCnt(c: Column, pat: String): Column =
+      regexp_count(lower(c), lit(pat)).cast("int")
+
+    val pats = TextAnalysis.stopwordPatterns
+    // 1 regex, extract_all vs count
+    timed("one_extract_all")(
+      docs.select(sum(hitsEx(col("text"), pats.head._2))).collect()(0))
+    timed("one_regexp_count")(
+      docs.select(sum(hitsCnt(col("text"), pats.head._2))).collect()(0))
+    // all 4, evaluated once each
+    timed("four_extract_all")(docs.select(
+      sum(pats.map(p => hitsEx(col("text"), p._2)).reduce(_ + _))).collect()(0))
+    timed("four_regexp_count")(docs.select(
+      sum(pats.map(p => hitsCnt(col("text"), p._2)).reduce(_ + _))).collect()(0))
+    // the shipped langId (potentially O(L^2) duplicated subtrees — or CSE'd?)
+    timed("withLangId_shipped")(
+      TextAnalysis.withLangId(docs).groupBy("lang_guess").count().collect().length)
+    timed("langid_only")(
+      docs.select(TextAnalysis.langId(col("text")).as("l"))
+        .groupBy("l").count().collect().length)
+    // counts-array argmax variant (each regex once per row, argmax in SQL)
+    val counts = array(pats.map(p => hitsCnt(col("text"), p._2)): _*)
+    val langs = array(pats.map(p => lit(p._1)): _*)
+    val argmaxLang = {
+      val best = array_max(col("__c"))
+      when(best === 0, lit("und")).otherwise(
+        element_at(col("__l"), array_position(col("__c"), best).cast("int")))
     }
-    println("PLAN banded:\n" + banded.queryExecution.executedPlan.toString().take(4000))
-    val pairs = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
-        Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-    timed("pairs_raw")(pairs.count())
-    timed("pairs_distinct")(pairs.distinct().count())
-    timed("full_q22")(
-      Dedup.minhashNearDups(docs, "doc_id", "text", 3, 32, 8, 0.3).count())
-    timed("full_q22_again")(
-      Dedup.minhashNearDups(docs, "doc_id", "text", 3, 32, 8, 0.3).count())
+    timed("langid_array_argmax")(
+      docs.withColumn("__c", counts).withColumn("__l", langs)
+        .select(argmaxLang.as("l")).groupBy("l").count().collect().length)
+    // quality score alone, then the full curate chain
+    timed("qualityScore")(
+      TextAnalysis.qualityScore(docs).agg(sum("quality_score")).collect()(0))
+    timed("curate_full")(Curate.curate(docs).count())
+    timed("curate_full_again")(Curate.curate(docs).count())
     spark.stop()
   }
 }

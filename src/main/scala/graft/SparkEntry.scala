@@ -539,7 +539,30 @@ object SparkEntry {
     // planted recall/survival properties live in OpsSpec) ──
     "q67_neardup_incremental" -> ((s, dir) =>
       Dedup.dropSeenNearDup(incrementalBatch(s, dir), t(s, dir, "documents"),
-        "doc_id", "text", threshold = 0.6).select(col("doc_id")))
+        "doc_id", "text", threshold = 0.6).select(col("doc_id"))),
+
+    // ── conversation curation: render whole conversations into ordered
+    // training documents ("role: text" lines). maxTurns caps the planted
+    // hot conversation (30% of all turns) BEFORE the one shuffle ──
+    "q68_assemble" -> ((s, dir) =>
+      Conversations.assemble(Gen.turns(s, 20000L).toDF(), maxTurns = 50)),
+
+    // ── time-gap sessionization over the events activity stream (8 h
+    // gap); integral-microsecond arithmetic so the oracle replays the
+    // boundary comparison bit-exactly ──
+    "q69_sessionize" -> ((s, dir) =>
+      Conversations.sessionize(t(s, dir, "events"), "user_id", "ts",
+        Seq("ts", "event_id"), gapSec = 28800L)
+        .select(col("event_id"), col("user_id"), col("session_idx"))),
+
+    // ── per-conversation composition data card (the SFT curation filter
+    // signal: role mix, size, time span) ──
+    "q70_conv_stats" -> ((s, dir) =>
+      Conversations.stats(Gen.turns(s, 20000L).toDF())),
+
+    // ── exact corpus heavy hitters with deterministic tie-break ──
+    "q71_top_terms" -> ((s, dir) =>
+      Stats.topTerms(t(s, dir, "documents"), k = 25))
   )
 
   /** Synthetic "next ingest batch" for q66/q67: a third of the corpus
@@ -754,6 +777,18 @@ object SparkEntry {
     "q66_dedup_incremental" ->
       """WITH batch AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0 UNION ALL SELECT doc_id + 2000000, array_to_string(list_reverse(string_split(text, ' ')), ' ') FROM documents WHERE doc_id % 3 = 1) SELECT doc_id FROM batch WHERE md5(text) NOT IN (SELECT md5(text) FROM documents)""",
     "q65_histogram" ->
-      """SELECT bin, CAST(bin * 10 AS BIGINT) AS bin_lo, count(*) AS n_docs FROM (SELECT least(CAST(floor(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) / 10.0) AS BIGINT), CAST(19 AS BIGINT)) AS bin FROM documents) t GROUP BY bin"""
+      """SELECT bin, CAST(bin * 10 AS BIGINT) AS bin_lo, count(*) AS n_docs FROM (SELECT least(CAST(floor(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) / 10.0) AS BIGINT), CAST(19 AS BIGINT)) AS bin FROM documents) t GROUP BY bin""",
+    // q68: string_agg skips nothing here (generator has no null role/text);
+    // ORDER BY turn_idx is total because (conv_id, turn_idx) is unique
+    "q68_assemble" ->
+      s"""SELECT conv_id, count(*) AS n_turns, string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS doc FROM $trTable WHERE turn_idx < 50 GROUP BY conv_id""",
+    // q69: integral-microsecond gap arithmetic (epoch_us ≡ Spark
+    // unix_micros); ROWS frame stated explicitly (engine defaults differ)
+    "q69_sessionize" ->
+      """SELECT event_id, user_id, CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 28800000000 THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx FROM (SELECT event_id, user_id, ts, epoch_us(ts) AS us, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM events) t""",
+    "q70_conv_stats" ->
+      s"""SELECT conv_id, count(*) AS n_turns, CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user, CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant, CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool, CAST(sum(length(text)) AS BIGINT) AS n_chars, epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us FROM $trTable GROUP BY conv_id""",
+    "q71_top_terms" ->
+      """SELECT term, count(*) AS n FROM (SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS term FROM documents) t GROUP BY term ORDER BY n DESC, term LIMIT 25"""
   )
 }

@@ -42,4 +42,21 @@ object Stats {
       .withColumn("bin_lo", (col("bin") * binWidth).cast("long"))
       .select(col("bin"), col("bin_lo"), col("n_docs"))
   }
+
+  /** Exact top-k corpus terms (heavy hitters) with a deterministic
+    * tie-break (count desc, term asc). The explode inflates rows to one
+    * per token, but partial (map-side) aggregation compacts each partition
+    * to its distinct terms before the one hash shuffle, and the final
+    * ranking is a TakeOrderedAndProject — per-partition top-k heaps, no
+    * Window, no global sort. Vocabulary, not corpus, bounds the shuffle.
+    */
+  def topTerms(df: DataFrame, textCol: String = "text",
+      k: Int = 25): DataFrame = {
+    require(k >= 1)
+    df.select(explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(k)
+  }
 }

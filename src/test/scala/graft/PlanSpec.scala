@@ -246,6 +246,27 @@ class PlanSpec extends SparkSpec {
       s"partition skew after dedup: max=$mx mean=$mean sizes=${sizes.toSeq}")
   }
 
+  test("q68/q70 conversation ops are one hash aggregate; q69 one window; q71 TakeOrdered") {
+    // assemble/stats: single hash shuffle on conv_id, group state bounded
+    // by the (capped) conversation — never a join, never a window sort
+    for (q <- Seq("q68_assemble", "q70_conv_stats")) {
+      val p = plan(SparkEntry.queries(q)(spark, dir))
+      assert(p.contains("Aggregate") && !p.contains("Window") &&
+        !p.contains("Join"), s"$q must be one hash aggregate:\n$p")
+    }
+    // sessionize: both window functions share one (key, order) spec →
+    // a single exchange + per-key sort, no join
+    val p69 = plan(SparkEntry.queries("q69_sessionize")(spark, dir))
+    assert(p69.contains("Window") && !p69.contains("Join") &&
+      p69.sliding("Exchange".length).count(_ == "Exchange") <= 1,
+      s"q69 must be one exchange + one window:\n$p69")
+    // heavy hitters: partial agg before the shuffle, top-k never
+    // global-sorts
+    val p71 = plan(SparkEntry.queries("q71_top_terms")(spark, dir))
+    assert(p71.contains("TakeOrderedAndProject") && !p71.contains("Window") &&
+      p71.contains("Generate"), s"q71 must takeOrdered after hash agg:\n$p71")
+  }
+
   test("dedup is hash aggregation, not a sort-based window") {
     val turns = Gen.turns(spark, 1000L).toDF()
     val p = plan(Route.replaceSemantics(
