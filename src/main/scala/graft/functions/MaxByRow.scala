@@ -26,6 +26,7 @@ import org.apache.spark.sql.types._
 case class MaxByRow(
     value: Expression,
     ordering: Expression,
+    reverse: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[MaxByRow.Buffer] {
@@ -33,7 +34,11 @@ case class MaxByRow(
   override def children: Seq[Expression] = Seq(value, ordering)
   override def dataType: DataType = value.dataType
   override def nullable: Boolean = true
-  override def prettyName: String = "max_by_row"
+  override def prettyName: String = if (reverse) "min_by_row" else "max_by_row"
+
+  // reverse=true keeps the LEAST ordering (min_by) — same buffer, same
+  // ObjectHashAggregate path, flipped comparison
+  private def wins(cmp: Int): Boolean = if (reverse) cmp < 0 else cmp > 0
 
   @transient private lazy val ordCmp =
     TypeUtils.getInterpretedOrdering(ordering.dataType)
@@ -45,7 +50,7 @@ case class MaxByRow(
 
   override def update(buf: MaxByRow.Buffer, input: InternalRow): MaxByRow.Buffer = {
     val ord = ordering.eval(input)
-    if (ord != null && (buf.row == null || ordCmp.compare(ord, buf.ord) > 0)) {
+    if (ord != null && (buf.row == null || wins(ordCmp.compare(ord, buf.ord)))) {
       pairRow.update(0, ord)
       pairRow.update(1, value.eval(input))
       buf.set(pairProj(pairRow).copy(), ordering.dataType)
@@ -56,7 +61,7 @@ case class MaxByRow(
   override def merge(b1: MaxByRow.Buffer, b2: MaxByRow.Buffer): MaxByRow.Buffer = {
     if (b2.row != null) {
       b2.materialize(ordering.dataType)
-      if (b1.row == null || ordCmp.compare(b2.ord, b1.ord) > 0) {
+      if (b1.row == null || wins(ordCmp.compare(b2.ord, b1.ord))) {
         b1.set(b2.row, ordering.dataType)
       }
     }
@@ -103,4 +108,11 @@ object MaxByRow {
     ColumnBridge.column(
       MaxByRow(ColumnBridge.expression(value), ColumnBridge.expression(ordering))
         .toAggregateExpression())
+
+  /** Hash-aggregable min_by: the FIRST-write-wins / deterministic-keeper
+    * twin (exact dedup keeps the min-id row per distinct text). */
+  def min_by_row(value: Column, ordering: Column): Column =
+    ColumnBridge.column(
+      MaxByRow(ColumnBridge.expression(value), ColumnBridge.expression(ordering),
+        reverse = true).toAggregateExpression())
 }

@@ -45,7 +45,11 @@ object Curate {
     val langOk =
       if (cfg.langs.isEmpty) qualityOk
       else qualityOk.filter(col("lang_guess").isin(cfg.langs: _*))
-    val deduped = Dedup.dropExactDuplicates(langOk, idCol, textCol)
+    // prune the scoring scratch columns (sw_*, count/ratio fields) before
+    // the dedup shuffle — only the published columns ride the wire
+    val pruned = langOk.select((df.columns.map(col) :+ col("lang_guess") :+
+      col("quality_score")): _*)
+    val deduped = Dedup.dropExactDuplicates(pruned, idCol, textCol)
     val sampled =
       if (cfg.samplePermille >= 1000) deduped
       else deduped.filter(

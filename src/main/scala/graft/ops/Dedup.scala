@@ -32,17 +32,19 @@ object Dedup {
       .filter(col("n") > 1)
 
   /** Exact-dedup projection: keep one deterministic representative (min id)
-    * per distinct text. Scale shape: single hash-shuffle on md5, map-side
-    * partial agg.
+    * per distinct text. ONE shuffle on the 16-byte md5 key, the full row
+    * riding a hash-aggregable min_by (ObjectHashAggregate with map-side
+    * partial collapse — duplicate-heavy partitions shrink before the wire).
+    * The previous keepers-semi-join shape computed the upstream chain twice
+    * (both join sides re-derive `df`) and shuffled three times — measured
+    * 2× the whole curate chain's cost at 100k docs (QDebug, round 4).
     */
   def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val keepers = df
-      .groupBy(md5(col(textCol)).as("__h"))
-      .agg(min(col(idCol)).as(idCol))
-      .drop("__h")
-    // the semi join keeps every row with a keeper id — fully identical rows
-    // (same id, same text) still need collapsing to one physical row.
-    df.join(keepers, Seq(idCol), "left_semi").dropDuplicates(Seq(idCol))
+    val cols = df.columns
+    df.groupBy(md5(col(textCol)).as("__h"))
+      .agg(graft.functions.MaxByRow.min_by_row(
+        struct(cols.map(col): _*), col(idCol)).as("__r"))
+      .select(cols.map(c => col(s"__r.`$c`").as(c)): _*)
   }
 
   /** MinHash signature from PRE-HASHED shingles: slot j = min_i mix(h_i, j),

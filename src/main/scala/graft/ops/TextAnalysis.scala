@@ -21,8 +21,11 @@ object TextAnalysis {
     "de" -> """\b(der|die|das|und|ist|von|ein|eine|zu|mit)\b""",
     "es" -> """\b(el|la|los|las|es|de|un|una|que|por)\b""")
 
+  // regexp_count, NOT size(regexp_extract_all): same non-overlapping match
+  // count (≡ DuckDB len(regexp_extract_all)), but no per-row match-array
+  // allocation — measured ~25% cheaper warm (QDebug, round 4)
   private def hits(c: Column, pat: String): Column =
-    size(regexp_extract_all(lower(c), lit(pat), lit(0)))
+    regexp_count(lower(c), lit(pat))
 
   /** Per-language stopword hit counts + argmax guess ("und" = no hits). */
   def langId(textCol: Column): Column = {
