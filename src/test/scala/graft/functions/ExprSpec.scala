@@ -125,4 +125,26 @@ class ExprSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("array") ||
       e.getMessage.contains("DATATYPE_MISMATCH"))
   }
+
+  test("max_by_row/min_by_row equal the groupBy-sort oracle across partitions") {
+    // duplicate-heavy, many partitions: exercises update, shuffle
+    // serialize/deserialize, and merge in both comparison directions
+    val rows = (0 until 2000).map { i =>
+      (i % 37L, i.toLong, s"p$i") // key, ord, payload
+    }
+    val df = rows.toDF("k", "ord", "payload").repartition(16)
+    def byRow(reverse: Boolean) = df.groupBy($"k")
+      .agg((if (reverse) MaxByRow.min_by_row _ else MaxByRow.max_by_row _)(
+        struct($"ord", $"payload"), $"ord").as("r"))
+      .select($"k", $"r.ord", $"r.payload")
+      .as[(Long, Long, String)].collect().toSet
+    val oracleMax = rows.groupBy(_._1).map { case (k, g) =>
+      val (_, o, p) = g.maxBy(_._2); (k, o, p)
+    }.toSet
+    val oracleMin = rows.groupBy(_._1).map { case (k, g) =>
+      val (_, o, p) = g.minBy(_._2); (k, o, p)
+    }.toSet
+    assert(byRow(reverse = false) == oracleMax)
+    assert(byRow(reverse = true) == oracleMin)
+  }
 }
