@@ -562,7 +562,18 @@ object SparkEntry {
 
     // ── exact corpus heavy hitters with deterministic tie-break ──
     "q71_top_terms" -> ((s, dir) =>
-      Stats.topTerms(t(s, dir, "documents"), k = 25))
+      Stats.topTerms(t(s, dir, "documents"), k = 25)),
+
+    // ── data-card shape metric: per-source token-length quantiles
+    // (exact linear-interp percentile; percentile_approx is the
+    // documented huge-group swap-in) ──
+    "q72_token_quantiles" -> ((s, dir) =>
+      Stats.tokenQuantiles(t(s, dir, "documents"))),
+
+    // ── SFT pair mining over transcripts: user turn → immediately
+    // following assistant turn ──
+    "q73_sft_pairs" -> ((s, dir) =>
+      Conversations.sftPairs(Gen.turns(s, 20000L).toDF()))
   )
 
   /** Synthetic "next ingest batch" for q66/q67: a third of the corpus
@@ -789,6 +800,12 @@ object SparkEntry {
     "q70_conv_stats" ->
       s"""SELECT conv_id, count(*) AS n_turns, CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user, CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant, CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool, CAST(sum(length(text)) AS BIGINT) AS n_chars, epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us FROM $trTable GROUP BY conv_id""",
     "q71_top_terms" ->
-      """SELECT term, count(*) AS n FROM (SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS term FROM documents) t GROUP BY term ORDER BY n DESC, term LIMIT 25"""
+      """SELECT term, count(*) AS n FROM (SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS term FROM documents) t GROUP BY term ORDER BY n DESC, term LIMIT 25""",
+    // q72: quantile_cont ≡ Spark's exact linear-interp percentile on the
+    // same BIGINT token counts; rounded 6 dp on both engines
+    "q72_token_quantiles" ->
+      """SELECT source, round(quantile_cont(n, 0.5), 6) AS p50, round(quantile_cont(n, 0.9), 6) AS p90, round(quantile_cont(n, 0.99), 6) AS p99 FROM (SELECT source, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n FROM documents) t GROUP BY source""",
+    "q73_sft_pairs" ->
+      s"""SELECT conv_id, turn_idx AS prompt_idx, text AS prompt, next_text AS completion FROM (SELECT conv_id, turn_idx, role, text, lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_role, lead(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_text FROM $trTable) t WHERE role = 'user' AND next_role = 'assistant'"""
   )
 }

@@ -99,6 +99,25 @@ object Conversations {
           - unix_micros(min(col(tsCol)).cast("timestamp"))).as("span_us"))
   }
 
+  /** SFT pair mining: emit (prompt, completion) rows for every
+    * `userRole` turn immediately followed (in `idxCol` order) by an
+    * `assistantRole` turn — the canonical instruction-tuning extraction
+    * over raw transcripts. Both `lead` calls share one (conv, idx) window
+    * spec → a single exchange + per-conversation sort, state one row deep.
+    */
+  def sftPairs(df: DataFrame, convCol: String = "conv_id",
+      idxCol: String = "turn_idx", roleCol: String = "role",
+      textCol: String = "text", userRole: String = "user",
+      assistantRole: String = "assistant"): DataFrame = {
+    val w = Window.partitionBy(col(convCol)).orderBy(col(idxCol))
+    df.select(col(convCol), col(idxCol), col(roleCol), col(textCol),
+        lead(col(roleCol), 1).over(w).as("_next_role"),
+        lead(col(textCol), 1).over(w).as("_next_text"))
+      .filter(col(roleCol) === userRole && col("_next_role") === assistantRole)
+      .select(col(convCol), col(idxCol).as("prompt_idx"),
+        col(textCol).as("prompt"), col("_next_text").as("completion"))
+  }
+
   /** Composition filter over `stats`: keep conversations with at least
     * `minUser` user and `minAssistant` assistant turns and at most
     * `maxTurns` turns total. Returns the surviving conv keys (semi-joinable

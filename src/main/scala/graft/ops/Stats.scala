@@ -43,6 +43,23 @@ object Stats {
       .select(col("bin"), col("bin_lo"), col("n_docs"))
   }
 
+  /** Per-source token-length quantiles (p50/p90/p99) — the data-card
+    * shape metric next to `corpusProfile`'s means. EXACT linear-interp
+    * percentile (≡ DuckDB quantile_cont on the same integers, rounded
+    * 6 dp): per-group state is the group's value list, fine for
+    * #sources-bounded groups; at 100 TB with huge groups switch the same
+    * call to `percentile_approx` (bounded sketch) — the documented
+    * exact/approx pairing, same as q12's distinct vs q49's HLL.
+    */
+  def tokenQuantiles(df: DataFrame, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame =
+    df.select(col(sourceCol).as("source"), nTok(textCol).as("n"))
+      .groupBy(col("source"))
+      .agg(
+        round(expr("percentile(n, 0.5)"), 6).as("p50"),
+        round(expr("percentile(n, 0.9)"), 6).as("p90"),
+        round(expr("percentile(n, 0.99)"), 6).as("p99"))
+
   /** Exact top-k corpus terms (heavy hitters) with a deterministic
     * tie-break (count desc, term asc). The explode inflates rows to one
     * per token, but partial (map-side) aggregation compacts each partition

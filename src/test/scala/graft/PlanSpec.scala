@@ -265,6 +265,15 @@ class PlanSpec extends SparkSpec {
     val p71 = plan(SparkEntry.queries("q71_top_terms")(spark, dir))
     assert(p71.contains("TakeOrderedAndProject") && !p71.contains("Window") &&
       p71.contains("Generate"), s"q71 must takeOrdered after hash agg:\n$p71")
+    // quantiles: one aggregate, no join/window; SFT pairs: both leads in
+    // ONE window over one exchange, no join
+    val p72 = plan(SparkEntry.queries("q72_token_quantiles")(spark, dir))
+    assert(p72.contains("Aggregate") && !p72.contains("Join") &&
+      !p72.contains("Window"), s"q72 must be one aggregate:\n$p72")
+    val p73 = plan(SparkEntry.queries("q73_sft_pairs")(spark, dir))
+    assert(p73.contains("Window") && !p73.contains("Join") &&
+      p73.sliding("Window".length).count(_ == "Window") <= 2,
+      s"q73 must be one window (both leads fused):\n$p73")
   }
 
   test("dedup is hash aggregation, not a sort-based window") {

@@ -73,6 +73,35 @@ class ConversationsSpec extends SparkSpec {
     assert(kept == Set("c1"), "c2 has no assistant turn")
   }
 
+  test("sftPairs: adjacent user→assistant only, ordered by idx") {
+    val df = Seq(
+      ("c1", 0, "user", "q1", "", ts(0)),
+      ("c1", 1, "assistant", "a1", "", ts(1)),
+      ("c1", 2, "user", "q2", "", ts(2)),
+      ("c1", 3, "tool", "t1", "bash", ts(3)),   // breaks the pair
+      ("c1", 4, "assistant", "a2", "", ts(4)),  // not adjacent to a user
+      ("c2", 0, "assistant", "a0", "", ts(0)),  // conversation starts odd
+      ("c2", 1, "user", "q3", "", ts(1))        // last turn — no successor
+    ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val pairs = Conversations.sftPairs(df)
+      .select($"conv_id", $"prompt_idx", $"prompt", $"completion")
+      .as[(String, Int, String, String)].collect().toSet
+    assert(pairs == Set(("c1", 0, "q1", "a1")))
+  }
+
+  test("tokenQuantiles: hand-computed interpolated percentiles per source") {
+    // source A: token counts 1,2,3,4 → p50 = 2.5 (linear interpolation)
+    val df = Seq(
+      (1L, "w", "A"), (2L, "w w", "A"), (3L, "w w w", "A"),
+      (4L, "w w w w", "A"), (5L, "w w", "B")
+    ).toDF("doc_id", "text", "source")
+    val q = Stats.tokenQuantiles(df).orderBy("source").collect()
+    assert(q(0).getAs[Double]("p50") == 2.5)
+    assert(q(0).getAs[Double]("p90") == 3.7)   // 1 + 0.9*3 interpolated
+    assert(q(1).getAs[Double]("p50") == 2.0)
+    assert(q(1).getAs[Double]("p99") == 2.0)
+  }
+
   test("topTerms: exact counts, deterministic count-desc term-asc tie-break") {
     val docs = Seq((1L, "B a"), (2L, "b c a!")).toDF("doc_id", "text")
     val top = Stats.topTerms(docs, k = 2).as[(String, Long)].collect()
