@@ -399,7 +399,7 @@ object Pipeline {
   }
 
   /** Non-hidden data files directly under `dir` (driver-side metadata). */
-  private def listFiles(spark: SparkSession, dir: String): Seq[String] = {
+  private[alco] def listFiles(spark: SparkSession, dir: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return Seq.empty
@@ -410,7 +410,7 @@ object Pipeline {
   /** All data files in partition dirs, as paths relative to `root`
     * (driver-side metadata, O(#files)).
     */
-  private def listPartitionFiles(spark: SparkSession, root: String): Seq[String] = {
+  private[alco] def listPartitionFiles(spark: SparkSession, root: String): Seq[String] = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(rootPath)) return Seq.empty

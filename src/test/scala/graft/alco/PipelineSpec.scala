@@ -220,6 +220,44 @@ class PipelineSpec extends SparkSpec {
     assert(snap.files.toSet == listDataFiles(s"$out6/routed"))
   }
 
+  test("compaction: fewer files, byte-identical committed rows, ingest continues") {
+    val out7 = tmpDir("pipe_compact")
+    // tiny maxRecordsPerFile fragments every partition, simulating a day
+    // of micro-batch commits
+    val cfgSmall = Pipeline.Config(saltBuckets = 8, maxRecordsPerFile = 500L)
+    Pipeline.run(spark, turns.toDF(), out7, cfgSmall, batchId = 0L)
+    val routed = s"$out7/routed"
+    def committedRows() = Manifest.readCommitted(spark, routed).get
+      .select($"conv_id", $"turn_idx", $"text").as[(String, Int, String)]
+      .collect().toSet
+    val filesBefore = Manifest.committedFiles(routed)
+    val rowsBefore = committedRows()
+    assert(filesBefore.groupBy(f => f.substring(0, f.lastIndexOf('/')))
+      .exists(_._2.size >= 3), "fixture must fragment some partition")
+
+    val res = Compact.compact(spark, out7, minFiles = 2, cfg = cfgSmall.copy(
+      maxRecordsPerFile = 2L * 1000 * 1000))
+    assert(res.filesAfter < res.filesBefore, s"$res")
+    val filesAfter = Manifest.committedFiles(routed)
+    assert(filesAfter.size == res.filesAfter)
+    // CoW swap is complete: disk holds exactly the committed set (old
+    // fragments swept), and the readable rows are identical
+    assert(Pipeline.listPartitionFiles(spark, routed).toSet == filesAfter)
+    assert(committedRows() == rowsBefore)
+    // already-compact partitions are left alone (idempotent no-op)
+    val res2 = Compact.compact(spark, out7, minFiles = 2)
+    assert(res2.compactedPartitions.isEmpty &&
+      res2.filesAfter == filesAfter.size)
+    // ingest continues on top of the compacted snapshot: the overlapping
+    // batch CoW-merges and the table still equals the naive oracle
+    Pipeline.run(spark, turns.toDF(), out7, cfgSmall, batchId = 1L)
+    val merged = Manifest.readCommitted(spark, routed).get
+    assert(merged.count() == oracleRouted.size.toLong,
+      "re-ingest over a compacted table must REPLACE-merge, not duplicate")
+    assert(merged.groupBy($"conv_id", $"turn_idx").count()
+      .filter($"count" > 1).count() == 0L)
+  }
+
   test("conv_id point lookup scans a fraction of the table (bloom row-group skip)") {
     // The write path enables parquet bloom filters on conv_id
     // (Pipeline write options). The dedup shuffle spreads every
