@@ -24,7 +24,27 @@ import org.apache.spark.sql.SparkSession
 object PipelineMain {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: PipelineMain <inPath> <outRoot> [batchId] [writerId] [saltBuckets]")
+      "usage: PipelineMain <inPath> <outRoot> [batchId] [writerId] [saltBuckets]\n" +
+        "   or: PipelineMain --compact <outRoot> [minFiles]")
+    // maintenance mode: spark-submit --class ... alcospark.jar --compact
+    // <outRoot> [minFiles] — the cron-able Sphinx-OPTIMIZE analog
+    if (args(0) == "--compact") {
+      // only stop a session this entry created — embedding callers (and
+      // the spec) keep theirs
+      val preexisting = SparkSession.getActiveSession
+        .orElse(SparkSession.getDefaultSession)
+      val spark = preexisting.getOrElse(SparkSession.builder()
+        .appName("alcospark-compact")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate())
+      try {
+        val r = Compact.compact(spark, args(1),
+          minFiles = if (args.length > 2) args(2).toInt else 4)
+        println(s"""{"compacted_partitions":${r.compactedPartitions.size},""" +
+          s""""files_before":${r.filesBefore},"files_after":${r.filesAfter}}""")
+      } finally if (preexisting.isEmpty) spark.stop()
+      return
+    }
     val inPath = args(0)
     val outRoot = args(1)
     val batchId = if (args.length > 2) args(2).toLong else 0L

@@ -256,6 +256,14 @@ class PipelineSpec extends SparkSpec {
       "re-ingest over a compacted table must REPLACE-merge, not duplicate")
     assert(merged.groupBy($"conv_id", $"turn_idx").count()
       .filter($"count" > 1).count() == 0L)
+    // the spark-submit maintenance mode drives the same op (the batch-1
+    // merge re-fragmented with the tiny maxRecordsPerFile)
+    val preCli = Manifest.committedFiles(routed).size
+    PipelineMain.main(Array("--compact", out7, "2"))
+    assert(Manifest.committedFiles(routed).size < preCli,
+      "--compact mode must compact the re-fragmented table")
+    assert(Manifest.readCommitted(spark, routed).get.count()
+      == oracleRouted.size.toLong)
   }
 
   test("conv_id point lookup scans a fraction of the table (bloom row-group skip)") {
