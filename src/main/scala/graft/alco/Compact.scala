@@ -23,9 +23,13 @@ import scala.util.Try
   * staging/compact files (invisible; the next `Pipeline.run` orphan sweep
   * deletes them), a crash AFTER the commit leaves the superseded small
   * files as orphans (same sweep). The commit itself is one atomic
-  * snapshot-file rename. A row-count invariant guards the swap: the
-  * rewrite's observed per-partition counts must equal a read-side census
-  * of the same committed files, or the compaction aborts before commit.
+  * snapshot-file rename, CAS-guarded (hard-link creation) and with an
+  * expected-parent check — a concurrent ingest commit makes the
+  * compaction abort instead of silently dropping the other writer's
+  * files. A row-count invariant guards the swap: the rewrite's observed
+  * per-partition counts must equal a census of the source files' parquet
+  * footers (driver-side metadata, no second data scan), or the
+  * compaction aborts before commit.
   *
   * Scale: one read + ONE shuffle on the partition key (bin-packing must
   * co-locate each dir's rows or every input split re-emits its own small
@@ -68,9 +72,11 @@ object Compact {
     def readTargets = spark.read.option("basePath", routedPath)
       .parquet(targetFiles: _*)
 
-    // read-side census for the row-count invariant
-    val before = readTargets.groupBy(partKey.as("p")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // census for the row-count invariant from the source files' parquet
+    // FOOTERS — driver-side metadata, no second data scan
+    val before: Map[String, Long] = parts.map { p =>
+      p -> targets(p).map(f => footerRowCount(hconf, s"$routedPath/$f")).sum
+    }.toMap
 
     val obs = new Observation(s"compact_${snap.snapshotId}")
     readTargets
@@ -100,12 +106,21 @@ object Compact {
     }
 
     // move outputs into the live partition dirs under compact-tagged names
-    // (uncommitted until the snapshot below; a crash here leaves orphans)
+    // (uncommitted until the snapshot below; a crash here leaves orphans).
+    // fs.rename reports failure by RETURNING false (dest exists, transient
+    // object-store error) — a false must abort BEFORE the staging delete,
+    // or the only copy of the rewritten rows would be destroyed and the
+    // snapshot would name a missing file.
     val moved = parts.flatMap { p =>
       Pipeline.listFiles(spark, s"$tmp/$p").map { name =>
         val dest = s"compact-${snap.snapshotId}-$name"
-        fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/$p/$name"),
+        val renamed = fs.rename(
+          new org.apache.hadoop.fs.Path(s"$tmp/$p/$name"),
           new org.apache.hadoop.fs.Path(s"$routedPath/$p/$dest"))
+        if (!renamed)
+          throw new IllegalStateException(
+            s"compaction rename failed for $p/$dest — aborting before " +
+              "commit (staging retained; moved files are uncommitted orphans)")
         s"$p/$dest"
       }
     }
@@ -116,13 +131,28 @@ object Compact {
     val newStats = before.toSeq.sortBy(_._1)
       .map { case (p, c) => Manifest.PartitionStat(p, c) }
     // writer-scoped batch key: "__compact" never collides with ingest
-    // writers; batchId = the compacted snapshot id (unique per round)
+    // writers; batchId = the compacted snapshot id (unique per round).
+    // expectedParentId: `kept ++ moved` was derived from `snap`, so if an
+    // ingest committed in between, publishing would silently drop its
+    // files — the commit aborts with CommitConflictException instead (the
+    // compacted files become orphans the sweep removes; rerun to retry).
     val newSnap = Manifest.commit(routedPath, batchId = snap.snapshotId,
       newStats = newStats, files = kept ++ moved, wallMs = 0L,
-      writerId = "__compact")
+      writerId = "__compact", expectedParentId = Some(snap.snapshotId))
     // the superseded small files are now orphans — sweep them (a crash
     // before this line just defers the sweep to the next run)
     Pipeline.cleanupOrphans(spark, routedPath, newSnap.files.toSet)
     Result(parts, snap.files.size, newSnap.files.size)
+  }
+
+  /** Total row count from a parquet file's footer (driver-side metadata —
+    * block row counts, no data pages read).
+    */
+  private def footerRowCount(conf: org.apache.hadoop.conf.Configuration,
+                             file: String): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(file), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try reader.getRecordCount finally reader.close()
   }
 }

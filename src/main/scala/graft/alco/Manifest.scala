@@ -112,8 +112,19 @@ object Manifest {
     */
   def commit(tableRoot: String, batchId: Long, newStats: Seq[PartitionStat],
              files: Seq[String], wallMs: Long,
-             writerId: String = ""): Snapshot = {
+             writerId: String = "",
+             expectedParentId: Option[Long] = None): Snapshot = {
     val parent = latest(tableRoot)
+    // optimistic concurrency for writers whose file list was DERIVED from
+    // a snapshot (compaction: kept ++ moved): if the table advanced since,
+    // committing would drop the interleaved writer's files — abort instead
+    expectedParentId.foreach { exp =>
+      val cur = parent.map(_.snapshotId).getOrElse(-1L)
+      if (cur != exp)
+        throw new CommitConflictException(
+          s"table advanced to snapshot $cur while this writer planned " +
+            s"against $exp — rebase and retry")
+    }
     val id = parent.map(_.snapshotId + 1).getOrElse(0L)
     val committed =
       (parent.map(_.committedPartitions).getOrElse(Seq.empty) ++
@@ -147,13 +158,32 @@ object Manifest {
     write(tableRoot, snap)
   }
 
+  /** Thrown when an optimistic commit loses the race: another writer
+    * published a snapshot first. The losing writer must re-derive its file
+    * list from the NEW snapshot and retry (its data files are orphans
+    * until then — safe, the sweep ignores-or-deletes them).
+    */
+  final class CommitConflictException(msg: String)
+    extends RuntimeException(msg)
+
   private def write(tableRoot: String, snap: Snapshot): Snapshot = {
     val dir = manifestDir(tableRoot)
     Files.createDirectories(dir)
     val tmp = dir.resolve(s"snapshot-${snap.snapshotId}.json.tmp")
     Files.write(tmp, toJson(snap).getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, dir.resolve(s"snapshot-${snap.snapshotId}.json"),
-      StandardCopyOption.ATOMIC_MOVE)
+    // CAS on the snapshot id: hard-link creation is atomic and FAILS if
+    // the target exists, so two writers racing to publish id N cannot
+    // both win (a plain rename() would silently replace). The loser sees
+    // a CommitConflictException and must rebase on the winner's snapshot.
+    try {
+      Files.createLink(dir.resolve(s"snapshot-${snap.snapshotId}.json"), tmp)
+      Files.deleteIfExists(tmp)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new CommitConflictException(
+          s"snapshot-${snap.snapshotId} already published by another writer")
+    }
     snap
   }
 

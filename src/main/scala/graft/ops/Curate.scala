@@ -47,9 +47,8 @@ object Curate {
       else qualityOk.filter(col("lang_guess").isin(cfg.langs: _*))
     // prune the scoring scratch columns (sw_*, count/ratio fields) before
     // the dedup shuffle — only the published columns ride the wire
-    val pruned = langOk.select((df.columns.map(col) :+ col("lang_guess") :+
-      col("quality_score")): _*)
-    val deduped = Dedup.dropExactDuplicates(pruned, idCol, textCol)
+    val deduped =
+      Dedup.dropExactDuplicates(publishedCols(df, langOk), idCol, textCol)
     val sampled =
       if (cfg.samplePermille >= 1000) deduped
       else deduped.filter(
@@ -58,16 +57,20 @@ object Curate {
       "3_dedup" -> deduped, "4_sample" -> sampled)
   }
 
+  /** The chain's published projection: the input's columns plus
+    * `lang_guess` and `quality_score`.
+    */
+  private def publishedCols(input: DataFrame, scored: DataFrame): DataFrame =
+    scored.select((input.columns.map(col) :+ col("lang_guess") :+
+      col("quality_score")): _*)
+
   /** Curated survivors: the input columns plus `lang_guess` and
     * `quality_score` (both deterministic, 6-dp-rounded score — engine
     * portable).
     */
   def curate(df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", cfg: Config = Config()): DataFrame = {
-    val out = stages(df, idCol, textCol, cfg).last._2
-    out.select((df.columns.map(col) :+ col("lang_guess") :+
-      col("quality_score")): _*)
-  }
+      textCol: String = "text", cfg: Config = Config()): DataFrame =
+    publishedCols(df, stages(df, idCol, textCol, cfg).last._2)
 
   /** Audit funnel: one row per stage with its surviving row count — the
     * per-stage lineage a curation run reports next to its output. Each

@@ -44,6 +44,10 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("__h"))
       .agg(graft.functions.MaxByRow.min_by_row(
         struct(cols.map(col): _*), col(idCol)).as("__r"))
+      // a group whose ids are ALL null has no keeper (min_by skips null
+      // orderings) — drop it rather than emit an all-null row, matching
+      // the previous semi-join's null-never-matches behavior
+      .filter(col("__r").isNotNull)
       .select(cols.map(c => col(s"__r.`$c`").as(c)): _*)
   }
 

@@ -266,6 +266,23 @@ class PipelineSpec extends SparkSpec {
       == oracleRouted.size.toLong)
   }
 
+  test("manifest optimistic concurrency: expected-parent and CAS publish conflicts abort") {
+    val root = tmpDir("manifest_cas")
+    Manifest.commit(root, 0L, Nil, Nil, 0L) // snapshot 0
+    // a writer that planned against a stale parent must not publish
+    intercept[Manifest.CommitConflictException] {
+      Manifest.commit(root, 1L, Nil, Nil, 0L, expectedParentId = Some(-1L))
+    }
+    // low-level publish CAS: a file already squatting on the target id
+    // makes the hard-link publish fail loudly — never a silent replace
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_manifest", "snapshot-1.json"),
+      "not json".getBytes)
+    intercept[Manifest.CommitConflictException] {
+      Manifest.commit(root, 1L, Nil, Nil, 0L)
+    }
+  }
+
   test("conv_id point lookup scans a fraction of the table (bloom row-group skip)") {
     // The write path enables parquet bloom filters on conv_id
     // (Pipeline write options). The dedup shuffle spreads every

@@ -20,6 +20,14 @@ class OpsSpec extends SparkSpec {
     (base ++ dups).toDF("doc_id", "text").cache()
   }
 
+  test("exact dedup: all-null-id groups are dropped, never an all-null row") {
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (null, "b"), (null, "b"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropExactDuplicates(df, "doc_id", "text").collect()
+    assert(kept.length == 1 && kept(0).getLong(0) == 1L &&
+      kept(0).getString(1) == "a")
+  }
+
   test("exact dedup: groups and drop keep deterministic representative") {
     val withDup = docs.union(docs.filter($"doc_id" < 3))
     val groups = Dedup.exactGroups(withDup, "doc_id", "text").collect()
