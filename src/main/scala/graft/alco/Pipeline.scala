@@ -286,8 +286,14 @@ object Pipeline {
     // files are orphans, cleaned next run. Crash after → batch is committed,
     // rerun short-circuits on batchId.
     val tCommit = System.nanoTime()
+    // expectedParentId: `carried` was derived from `prior` — if another
+    // writer (a concurrent compaction) advanced the table since, publishing
+    // would resurrect its swept files and drop its outputs; abort with
+    // CommitConflictException instead (this batch's files become orphans
+    // the rerun cleans, then the rerun replans against the new snapshot).
     val snap = Manifest.commit(routedPath, batchId, stats,
-      carried ++ newFiles, ms(t0), writerId)
+      carried ++ newFiles, ms(t0), writerId,
+      expectedParentId = Some(prior.map(_.snapshotId).getOrElse(-1L)))
 
     // Vacuum superseded files of merged partitions (post-commit; a crash
     // here just leaves orphans for the next run's cleanup).
