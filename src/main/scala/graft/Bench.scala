@@ -95,17 +95,30 @@ object Bench {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
+  // commons-io (on the Spark classpath) — closes its streams, never throws
   private def deleteTree(p: Path): Unit =
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => { try Files.deleteIfExists(f) catch { case _: Exception => } })
-    }
+    org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+
+  /** True iff nothing under `p` was modified in the last `quietSec` —
+    * i.e. the tree is debris, not a live working dir.
+    */
+  private def treeQuietFor(p: Path, quietSec: Long): Boolean = {
+    val cutoff = System.currentTimeMillis() - quietSec * 1000L
+    val s = Files.walk(p)
+    try !s.anyMatch(f => f.toFile.lastModified() > cutoff)
+    finally s.close()
+  }
 
   /** Sweep working-set debris this or any PREVIOUS run left on tmpfs:
     * graft_bench* input/output trees and the shared spark.local.dir. tmpfs
     * pages are host RAM — a few killed driver runs used to accumulate the
     * whole 4M-row working set times N, and that memory pressure is
     * invisible to the pure-CPU ceiling leg.
+    *
+    * graft_spark_local is SHARED with every other forked graft JVM
+    * (build.sbt pins SPARK_LOCAL_DIRS), so it is only swept when nothing
+    * inside has been touched for 10 minutes — a concurrent test/profile
+    * run's live shuffle files must never be deleted out from under it.
     */
   private def sweepStale(): Unit = {
     val base = Paths.get(workBase)
@@ -114,8 +127,10 @@ object Bench {
     while (it.hasNext) {
       val p = it.next()
       val n = p.getFileName.toString
-      if (n.startsWith("graft_bench") || n == "graft_spark_local")
-        try deleteTree(p) catch { case _: Exception => }
+      val sweep = n.startsWith("graft_bench") ||
+        (n == "graft_spark_local" &&
+          (try treeQuietFor(p, 600L) catch { case _: Exception => false }))
+      if (sweep) try deleteTree(p) catch { case _: Exception => }
     }
   }
 
@@ -281,17 +296,21 @@ object Bench {
       sec
     }
 
-    // Memory-bandwidth ceiling: FIXED total work — 4 × 256 MB long arrays,
-    // each stream-summed 4 times — split across `threads` raw JVM threads,
-    // so the (lo/hi)/4 ratio formula matches the other legs. No Spark, no
-    // allocation inside the timed region — pure load-bandwidth. DRAM
-    // bandwidth shared with neighbors is the component a cache-resident
-    // CPU loop cannot see: a window where cpu scales but mem craters is
-    // host memory starvation, not pipeline code.
+    // Memory-bandwidth ceiling: FIXED total work — 32 × 32 MB long arrays
+    // (1 GB), each stream-summed 4 times — split across `threads` raw JVM
+    // threads, so the (lo/hi)/4 ratio formula matches the other legs.
+    // 32 chunks, not `threads` chunks: the split must stay fair for any
+    // thread count up to 32 (with 4 × 256 MB arrays, thread counts above
+    // 4 ran at 4-way parallelism and the ceiling under-reported whenever
+    // SPARK_GRAFT_SCALE_N > 1). No Spark, no allocation inside the timed
+    // region — pure load-bandwidth. DRAM bandwidth shared with neighbors
+    // is the component a cache-resident CPU loop cannot see: a window
+    // where cpu scales but mem craters is host memory starvation, not
+    // pipeline code.
     val memArrays = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
     def memLeg(threads: Int): Double = {
-      val nArrays = 4
-      val size = 32 * 1024 * 1024 // longs → 256 MB per array
+      val nArrays = 32
+      val size = 4 * 1024 * 1024 // longs → 32 MB per chunk, 1 GB total
       (0 until nArrays).foreach(t =>
         memArrays.computeIfAbsent(t, t0 => Array.tabulate(size)(i => (i + t0).toLong)))
       val sink = new java.util.concurrent.atomic.AtomicLong()
@@ -335,6 +354,11 @@ object Bench {
         val cHi = cpuLeg(nHigh)
         val mLo = memLeg(nLow)
         val mHi = memLeg(nHigh)
+        // release the 1 GB working set NOW: the next pair's pipeline legs
+        // (the measured quantity) must not run with it live on the heap
+        // (extra GC roots + less usable heap = a pair-1 vs pair-2+ bias);
+        // memLeg re-tabulates outside its timed region
+        memArrays.clear()
         pairs = pairs :+ PairMeas(pLo, pHi, cLo, cHi, mLo, mHi)
         pairBudget = math.max(pairBudget, (System.nanoTime() - t0) / 1e9 * 1.15)
         flush(partialJson(pairs))

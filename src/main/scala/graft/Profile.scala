@@ -180,16 +180,9 @@ object Profile {
       // BOTH legs of a pair, so the within-pair ratio survives it
       if (sys.env.get("ZSTD_AB").nonEmpty)
         (1 to 3).flatMap(i => zstdPair.map { case (n, o) => (s"${n}_p$i", o) })
-      else if (sys.env.get("TUNE_ONLY").nonEmpty) Seq(
-        // all carry the pipeline's bloom options so deltas are vs shipped shape
-        "write_sorted_zstd3" -> Seq("compression" -> "zstd",
-          "parquet.bloom.filter.enabled#conv_id" -> "true",
-          "parquet.bloom.filter.expected.ndv#conv_id" -> "100000"),
-        // zstd level 1: parquet-java default level is 3
-        "write_sorted_zstd1" -> Seq("compression" -> "zstd",
-          "parquet.compression.codec.zstd.level" -> "1",
-          "parquet.bloom.filter.enabled#conv_id" -> "true",
-          "parquet.bloom.filter.expected.ndv#conv_id" -> "100000"),
+      else if (sys.env.get("TUNE_ONLY").nonEmpty) zstdPair ++ Seq(
+        // all carry the pipeline's bloom options so deltas are vs shipped
+        // shape (zstdPair = the shipped zstd3 + the zstd1 comparison)
         // dictionary off for the high-cardinality text column: the writer
         // otherwise builds a dict per page and throws it away at the
         // fallback threshold

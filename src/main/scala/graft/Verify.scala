@@ -41,14 +41,8 @@ object Verify {
       // _temporary debris) where the driver's compare step could read it as
       // a (garbage) result — and an un-interruptible worker may still be
       // appending to it (ADVICE r3, low). Best-effort delete.
-      def scrub(): Unit = try {
-        val dir = java.nio.file.Paths.get(s"$outDir/$name")
-        if (java.nio.file.Files.exists(dir))
-          java.nio.file.Files.walk(dir)
-            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(p => { try java.nio.file.Files.deleteIfExists(p)
-              catch { case _: Exception => } })
-      } catch { case _: Exception => }
+      def scrub(): Unit = org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(s"$outDir/$name")): Unit
       if (worker.isAlive) {
         spark.sparkContext.cancelJobGroup(name)
         worker.interrupt()

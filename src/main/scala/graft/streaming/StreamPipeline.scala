@@ -101,10 +101,21 @@ object StreamPipeline {
   private[streaming] def upsertRollup(updates: DataFrame, outDir: String,
                                       batchId: Long): Unit = {
     val spark = updates.sparkSession
-    val merged = readRollup(spark, outDir) match {
+    // merge against the highest version STRICTLY BELOW this batchId, not
+    // the latest: a foreachBatch REPLAY of batch B (crash between the sink
+    // write of v-B and the checkpoint commit) must re-derive v-B from its
+    // original base — reading v-B while overwriting v-B throws
+    // "Cannot overwrite a path that is also being read from" and wedges
+    // the stream on every restart. The anti-join keys are NULL-SAFE (<=>):
+    // tool may legitimately be null, and null-unsafe equality would carry
+    // the stale null-tool row forward AND union the update (duplicate key).
+    val merged = readRollupVersion(spark, outDir, beforeId = Some(batchId)) match {
       case Some(cur) =>
-        cur.join(updates.select("tool", "role", "window_start"),
-            Seq("tool", "role", "window_start"), "left_anti")
+        val u = updates.select("tool", "role", "window_start")
+        cur.join(u,
+            cur("tool") <=> u("tool") && cur("role") <=> u("role") &&
+              cur("window_start") <=> u("window_start"),
+            "left_anti")
           .unionByName(updates)
       case None => updates
     }
@@ -113,14 +124,20 @@ object StreamPipeline {
   }
 
   /** Latest committed rollup version (highest v-<id> dir with _SUCCESS). */
-  def readRollup(spark: SparkSession, outDir: String): Option[DataFrame] = {
+  def readRollup(spark: SparkSession, outDir: String): Option[DataFrame] =
+    readRollupVersion(spark, outDir, beforeId = None)
+
+  private def readRollupVersion(spark: SparkSession, outDir: String,
+                                beforeId: Option[Long]): Option[DataFrame] = {
     val root = new java.io.File(outDir)
     Option(root.listFiles()).getOrElse(Array.empty).toSeq
       .filter(d => d.isDirectory && d.getName.startsWith("v-") &&
         new java.io.File(d, "_SUCCESS").exists())
-      .sortBy(d => d.getName.stripPrefix("v-").toLong)
+      .map(d => d.getName.stripPrefix("v-").toLong -> d)
+      .filter { case (id, _) => beforeId.forall(id < _) }
+      .sortBy(_._1)
       .lastOption
-      .map(d => spark.read.parquet(d.getAbsolutePath))
+      .map { case (_, d) => spark.read.parquet(d.getAbsolutePath) }
   }
 
   /** Streaming dedup (REPLACE semantics, O34): drop duplicate

@@ -60,6 +60,32 @@ class StreamingSpec extends SparkSpec {
     assert(dirs.exists(_.startsWith("tool_key=")))
   }
 
+  test("rollup upsert: same-batchId replay is idempotent; null keys replace, not duplicate") {
+    val out = tmpDir("rollup_replay")
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    def df(rows: (String, String, java.sql.Timestamp, Long)*) =
+      rows.toSeq.toDF("tool", "role", "window_start", "n")
+    def table() = StreamPipeline.readRollup(spark, out).get
+      .as[(String, String, java.sql.Timestamp, Long)].collect().toSet
+
+    StreamPipeline.upsertRollup(
+      df(("bash", "tool", t(0), 5L), (null, "assistant", t(0), 2L)), out, 0L)
+    val updates1 = df(("bash", "tool", t(0), 9L), (null, "assistant", t(0), 4L),
+      ("edit", "tool", t(86400), 1L))
+    StreamPipeline.upsertRollup(updates1, out, 1L)
+    val expected = Set(("bash", "tool", t(0), 9L),
+      (null.asInstanceOf[String], "assistant", t(0), 4L),
+      ("edit", "tool", t(86400), 1L))
+    assert(table() == expected,
+      "changed keys (incl. the NULL-tool key) must be replaced, not duplicated")
+
+    // foreachBatch REPLAY of batch 1 (crash between sink write and
+    // checkpoint commit): must not throw read-overwrite, must converge to
+    // the same table
+    StreamPipeline.upsertRollup(updates1, out, 1L)
+    assert(table() == expected, "replay must be a no-op rewrite of v-1")
+  }
+
   private def sessSource(dir: String, maxFiles: Int) = {
     import org.apache.spark.sql.Encoders
     spark.readStream
