@@ -115,10 +115,12 @@ object Bench {
     * whole 4M-row working set times N, and that memory pressure is
     * invisible to the pure-CPU ceiling leg.
     *
+    * Both sweep classes are guarded by the 10-minute quiet window:
     * graft_spark_local is SHARED with every other forked graft JVM
-    * (build.sbt pins SPARK_LOCAL_DIRS), so it is only swept when nothing
-    * inside has been touched for 10 minutes — a concurrent test/profile
-    * run's live shuffle files must never be deleted out from under it.
+    * (build.sbt pins SPARK_LOCAL_DIRS), and a graft_bench* tree may be a
+    * CONCURRENT bench invocation's live working set (ADVICE r4, low) — a
+    * tree with recent mtimes is in use and must never be deleted out from
+    * under its owner; only genuinely stale debris (killed runs) is swept.
     */
   private def sweepStale(): Unit = {
     val base = Paths.get(workBase)
@@ -127,9 +129,8 @@ object Bench {
     while (it.hasNext) {
       val p = it.next()
       val n = p.getFileName.toString
-      val sweep = n.startsWith("graft_bench") ||
-        (n == "graft_spark_local" &&
-          (try treeQuietFor(p, 600L) catch { case _: Exception => false }))
+      val sweep = (n.startsWith("graft_bench") || n == "graft_spark_local") &&
+        (try treeQuietFor(p, 600L) catch { case _: Exception => false })
       if (sweep) try deleteTree(p) catch { case _: Exception => }
     }
   }

@@ -106,10 +106,10 @@ object Profile {
     val okOf = (d: DataFrame) => Parse.splitQuarantine(Parse.classify(d))._1
     if (!skipPrefix) timed("s1_classify")(noop(classify(turns)))
     if (!skipPrefix) timed("s2_plus_dedup")(noop(
-      Route.replaceSemantics(Route.stage(64)(okOf(turns)))))
+      Route.replaceSemantics(Route.stage(okOf(turns)))))
     val routedOf = (d: DataFrame) =>
       Enrich.stage(spark)(Parse.extract(
-        Route.replaceSemantics(Route.stage(64)(okOf(d)))))
+        Route.replaceSemantics(Route.stage(okOf(d)))))
         .withColumn("tool_key",
           when(col("tool") === "", lit("_none")).otherwise(col("tool")))
     if (!skipPrefix) timed("s3_plus_extract_enrich")(noop(routedOf(turns)))

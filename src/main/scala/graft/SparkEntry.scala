@@ -26,7 +26,7 @@ object SparkEntry {
     val turns = Gen.turns(spark, 20000L)
     val (ok, _) = Parse.splitQuarantine(Parse.stage(turns.toDF()))
     val routed = Route.replaceSemantics(
-      Route.stage(16)(Enrich.stage(spark)(ok)))
+      Route.stage(Enrich.stage(spark)(ok)))
     Agg.rollupCounts(routed)
   }
 
@@ -286,7 +286,7 @@ object SparkEntry {
     "q33_alco_rollup" -> ((s, dir) => {
       val (ok, _) = Parse.splitQuarantine(Parse.stage(Gen.turns(s, 20000L).toDF()))
       Agg.rollupCounts(Route.replaceSemantics(
-        Route.stage(16)(Enrich.stage(s)(ok))))
+        Route.stage(Enrich.stage(s)(ok))))
         .select(col("tool"), col("role"),
           date_format(col("window_start"), "yyyy-MM-dd").as("day"), col("n"))
     }),
@@ -294,7 +294,7 @@ object SparkEntry {
     // ── alco distinct rollups + quarantine audit ──
     "q34_alco_distincts" -> ((s, dir) => {
       val (ok, _) = Parse.splitQuarantine(Parse.stage(Gen.turns(s, 20000L).toDF()))
-      Agg.distinctSets(Route.stage(16)(Enrich.stage(s)(ok)))
+      Agg.distinctSets(Route.stage(Enrich.stage(s)(ok)))
         .select(col("sink_key"), col("column"),
           array_join(col("values"), ",").as("vals"))
     }),
@@ -419,7 +419,7 @@ object SparkEntry {
           pmod(col("turn_idx"), lit(3)) === 0)
         .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
         .withColumn("text", concat(col("text"), lit(" redelivered")))
-      Route.replaceSemantics(Route.stage(16)(ok.unionByName(dup)))
+      Route.replaceSemantics(Route.stage(ok.unionByName(dup)))
         .select(col("conv_id"), col("turn_idx"), col("text"),
           unix_timestamp(col("ts")).as("epoch_s"))
     }),

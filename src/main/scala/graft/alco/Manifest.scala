@@ -17,9 +17,10 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
   *
   * Commit protocol (crash-safe, Iceberg-style):
   *  1. data files are written first (plain appends / merge outputs);
-  *  2. the snapshot JSON naming the exact committed FILE set is written to
-  *     `snapshot-<id>.json.tmp` and atomically renamed — this rename IS the
-  *     commit point;
+  *  2. the snapshot JSON naming the exact committed FILE set is staged to a
+  *     writer-unique `snapshot-<id>.<uuid>.tmp` and atomically hard-linked
+  *     to `snapshot-<id>.json` — this link IS the commit point (and the
+  *     CAS: link creation fails if the target exists);
   *  3. any data file on disk that no committed snapshot names is an ORPHAN
   *     (a crash between 1 and 2, or a superseded pre-merge file) and is
   *     deleted by the next run before it writes (Pipeline.cleanupOrphans) —
@@ -169,7 +170,13 @@ object Manifest {
   private def write(tableRoot: String, snap: Snapshot): Snapshot = {
     val dir = manifestDir(tableRoot)
     Files.createDirectories(dir)
-    val tmp = dir.resolve(s"snapshot-${snap.snapshotId}.json.tmp")
+    // Stage to a WRITER-UNIQUE tmp name: two writers racing for the same
+    // snapshot id on a shared tmp name would overwrite each other's bytes
+    // between write() and createLink(), letting the link "winner" publish
+    // the loser's (or a torn, mid-write) JSON while believing its own
+    // snapshot committed (ADVICE r4, medium).
+    val tmp = dir.resolve(
+      s"snapshot-${snap.snapshotId}.${java.util.UUID.randomUUID()}.tmp")
     Files.write(tmp, toJson(snap).getBytes(StandardCharsets.UTF_8))
     // CAS on the snapshot id: hard-link creation is atomic and FAILS if
     // the target exists, so two writers racing to publish id N cannot

@@ -49,7 +49,6 @@ object Pipeline {
   private val KeySep = "\u0001"
 
   final case class Config(
-      saltBuckets: Int = 64,
       maxRecordsPerFile: Long = 2L * 1000 * 1000,
       // zstd: encode speed ≈ lz4_raw on this profile (warmed A/B, Profile
       // EXPERIMENTS, BASELINE.md round-4 table) with ~30% smaller files than
@@ -167,8 +166,8 @@ object Pipeline {
       count(when(col("pattern_id") === 0, 1)).as("quarantined_rows"))
     val (ok, quarantine) = Parse.splitQuarantine(classified)
     val deduped = Route.replaceSemantics(
-      Route.stage(cfg.saltBuckets)(ok.drop(Parse.matchCols: _*)))
-    val routed0 = Enrich.stage(spark)(Parse.extract(deduped)) // seq/salt survive dedup
+      Route.stage(ok.drop(Parse.matchCols: _*)))
+    val routed0 = Enrich.stage(spark)(Parse.extract(deduped)) // seq survives dedup
 
     // Directory partitioning cannot represent the empty-string tool (it
     // round-trips as null), so the partition key is a sanitized `tool_key`

@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
   * {{{
   * spark-submit --class graft.alco.PipelineMain \
   *   --num-executors <N> --executor-cores C --executor-memory M \
-  *   alcospark.jar <inPath> <outRoot> [batchId] [writerId] [saltBuckets]
+  *   alcospark.jar <inPath> <outRoot> [batchId] [writerId]
   * }}}
   *
   * Master/executor topology comes entirely from spark-submit — the builder
@@ -24,7 +24,7 @@ import org.apache.spark.sql.SparkSession
 object PipelineMain {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: PipelineMain <inPath> <outRoot> [batchId] [writerId] [saltBuckets]\n" +
+      "usage: PipelineMain <inPath> <outRoot> [batchId] [writerId]\n" +
         "   or: PipelineMain --compact <outRoot> [minFiles]")
     // maintenance mode: spark-submit --class ... alcospark.jar --compact
     // <outRoot> [minFiles] — the cron-able Sphinx-OPTIMIZE analog
@@ -49,7 +49,6 @@ object PipelineMain {
     val outRoot = args(1)
     val batchId = if (args.length > 2) args(2).toLong else 0L
     val writerId = if (args.length > 3) args(3) else ""
-    val saltBuckets = if (args.length > 4) args(4).toInt else 64
 
     val spark = SparkSession.builder()
       .appName(s"alcospark-pipeline-batch-$batchId")
@@ -57,7 +56,7 @@ object PipelineMain {
       .getOrCreate()
     try {
       val r = Pipeline.run(spark, spark.read.parquet(inPath), outRoot,
-        Pipeline.Config(saltBuckets = saltBuckets), batchId, writerId)
+        Pipeline.Config(), batchId, writerId)
       println(
         s"""{"batch_id":${r.batchId},"snapshot_id":${r.snapshotId},""" +
         s""""input_rows":${r.inputRows},"routed_rows":${r.routedRows},""" +

@@ -38,6 +38,15 @@ object Dedup {
     * The previous keepers-semi-join shape computed the upstream chain twice
     * (both join sides re-derive `df`) and shuffled three times — measured
     * 2× the whole curate chain's cost at 100k docs (QDebug, round 4).
+    *
+    * PRECONDITION: `idCol` must be unique across `df` (ADVICE r4, low).
+    * With duplicate ids over DISTINCT texts, each text group keeps its own
+    * min-id row, so the same id can appear more than once in the output —
+    * and downstream anti-joins that treat idCol as a key (dropByClusters,
+    * dropContaminated) would then drop or keep more rows than intended.
+    * (The old semi-join + dropDuplicates(idCol) shape silently collapsed
+    * such ids to one arbitrary text instead — also wrong, just quieter.)
+    * Every caller in this repo feeds unique ids (doc_id / vec_id keys).
     */
   def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val cols = df.columns

@@ -36,8 +36,8 @@ object StreamPipeline {
     * trail as the batch path (O31/O35).
     */
   def routeQuery(spark: SparkSession, inDir: String, outDir: String,
-                 checkpoint: String, saltBuckets: Int = 16): StreamingQuery = {
-    val cfg = graft.alco.Pipeline.Config(saltBuckets = saltBuckets)
+                 checkpoint: String): StreamingQuery = {
+    val cfg = graft.alco.Pipeline.Config()
     source(spark, inDir)
       .writeStream
       .option("checkpointLocation", checkpoint)
@@ -121,6 +121,31 @@ object StreamPipeline {
     }
     merged.coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/v-$batchId")
+    vacuumRollupVersions(outDir, batchId)
+  }
+
+  /** Versions a long-running stream no longer needs are deleted after each
+    * successful write — one full table copy per trigger otherwise
+    * accumulates without bound (ADVICE r4, low; the same small-file leak
+    * class Compact fixes for the routed table). `keep` trailing versions
+    * below the just-written one stay for replay safety: a foreachBatch
+    * replay of batch B re-derives v-B from the highest version < B, so
+    * that merge base must survive at least until B's checkpoint commits;
+    * anything older is unreachable (readers take the highest version).
+    */
+  private def vacuumRollupVersions(outDir: String, batchId: Long,
+                                   keep: Int = 2): Unit = {
+    val root = new java.io.File(outDir)
+    Option(root.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(d => d.isDirectory && d.getName.startsWith("v-"))
+      .flatMap(d => scala.util.Try(
+        d.getName.stripPrefix("v-").toLong -> d).toOption)
+      .filter { case (id, _) => id < batchId }
+      .sortBy(-_._1)
+      .drop(keep)
+      .foreach { case (_, d) =>
+        org.apache.commons.io.FileUtils.deleteQuietly(d): Unit
+      }
   }
 
   /** Latest committed rollup version (highest v-<id> dir with _SUCCESS). */

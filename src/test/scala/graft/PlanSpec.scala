@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 /** Physical-plan assertions: the plans must not just be correct, they must
   * be the plans you'd want at 100 TB — filters reaching the parquet scan,
   * dims broadcast, top-k never global-sorting, projections pruned, and the
-  * salting/dedup hash actually dissolving conversation skew.
+  * near-unique dedup hash actually dissolving conversation skew.
   */
 class PlanSpec extends SparkSpec {
 
@@ -59,9 +59,9 @@ class PlanSpec extends SparkSpec {
     // ("Code grows beyond 64 KB") and the flagship plans executed
     // interpreted. The shared test session sets spark.sql.codegen.fallback
     // =false, so executing the exact round-3 failing fusion — Project of
-    // classify+extract+enrich+seq+salt over two BroadcastHashJoins — now
+    // classify+extract+enrich+seq over two BroadcastHashJoins — now
     // throws if the generated method ever regresses past the JVM limit.
-    val fused = Route.stage(16)(
+    val fused = Route.stage(
       graft.alco.Enrich.stage(spark)(
         Parse.splitQuarantine(Parse.stage(Gen.turns(spark, 2000L).toDF()))._1))
     assert(fused.count() > 0)
@@ -77,7 +77,7 @@ class PlanSpec extends SparkSpec {
     // again) or the optimizer stopped exploding this shape (and the barrier
     // could be retired). Both are worth knowing (round-3 verdict task 3).
     val raw = Gen.turns(spark, 2000L, textBarrier = false).toDF()
-    val fused = Route.stage(16)(
+    val fused = Route.stage(
       graft.alco.Enrich.stage(spark)(
         Parse.splitQuarantine(Parse.stage(raw))._1))
     val e = intercept[Throwable](fused.count())
@@ -237,7 +237,7 @@ class PlanSpec extends SparkSpec {
     // must be spread near-uniformly (key = (conv_id, turn_idx)).
     val turns = Gen.turns(spark, 20000L).toDF()
     val deduped = Route.replaceSemantics(
-      Route.stage(8)(Parse.splitQuarantine(Parse.classify(turns))._1))
+      Route.stage(Parse.splitQuarantine(Parse.classify(turns))._1))
     val sizes = deduped
       .mapPartitions(it => Iterator.single(it.size)).collect().filter(_ > 0)
     val mx = sizes.max.toDouble
@@ -279,7 +279,7 @@ class PlanSpec extends SparkSpec {
   test("dedup is hash aggregation, not a sort-based window") {
     val turns = Gen.turns(spark, 1000L).toDF()
     val p = plan(Route.replaceSemantics(
-      Route.stage(8)(Parse.splitQuarantine(Parse.classify(turns))._1)))
+      Route.stage(Parse.splitQuarantine(Parse.classify(turns))._1)))
     assert(p.contains("ObjectHashAggregate"),
       s"expected object-hash aggregate in:\n$p")
     assert(!p.contains("Window") && !p.contains("SortAggregate"),

@@ -19,7 +19,7 @@ class ColumnRoleSpec extends SparkSpec {
   test("excluded column is parsed but not stored") {
     val out = tmpDir("roles_excl")
     val roles = rolesWith(r => if (r.name == "attrs") r.copy(excluded = true) else r)
-    Pipeline.run(spark, turns, out, Pipeline.Config(saltBuckets = 8, columnRoles = roles))
+    Pipeline.run(spark, turns, out, Pipeline.Config(columnRoles = roles))
     val stored = spark.read.parquet(s"$out/routed").columns.toSet
     assert(!stored.contains("attrs"), "excluded column must not be written")
     assert(stored.contains("text") && stored.contains("conv_id"))
@@ -37,7 +37,7 @@ class ColumnRoleSpec extends SparkSpec {
       case r if r.name == "tool" => r.copy(filtered = true)
       case r => r
     }
-    Pipeline.run(spark, turns, out, Pipeline.Config(saltBuckets = 8, columnRoles = roles))
+    Pipeline.run(spark, turns, out, Pipeline.Config(columnRoles = roles))
     val cols = spark.read.parquet(s"$out/distinct_sets_batch_0")
       .select($"column").distinct().as[String].collect().toSet
     assert(cols.contains("tool") && !cols.contains("status"),
@@ -46,7 +46,7 @@ class ColumnRoleSpec extends SparkSpec {
 
   test("display flags drive the grep projection") {
     val out = tmpDir("roles_disp")
-    Pipeline.run(spark, turns, out, Pipeline.Config(saltBuckets = 8))
+    Pipeline.run(spark, turns, out, Pipeline.Config())
     val q = Grep.Query(limit = 5, roles = Some(Pipeline.defaultRoles))
     val got = Grep.query(spark, s"$out/routed", q)
     val display = Pipeline.defaultRoles.filter(r => r.display && !r.excluded)

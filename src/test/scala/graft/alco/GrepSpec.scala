@@ -9,7 +9,7 @@ class GrepSpec extends SparkSpec {
   private lazy val out = tmpDir("grep")
   private lazy val routedPath = {
     val turns = Gen.turns(spark, 10000L)
-    Pipeline.run(spark, turns.toDF(), out, Pipeline.Config(saltBuckets = 4))
+    Pipeline.run(spark, turns.toDF(), out, Pipeline.Config())
     s"$out/routed"
   }
 
@@ -106,7 +106,7 @@ class GrepSpec extends SparkSpec {
   test("multi-table union grep (unionByName across routed tables)") {
     val out2 = tmpDir("grep2")
     Pipeline.run(spark, Gen.turns(spark, 2000L, seed = 7L).toDF(), out2,
-      Pipeline.Config(saltBuckets = 4))
+      Pipeline.Config())
     val q = Grep.Query(terms = Seq("retry"), limit = 1000000)
     val a = Grep.query(spark, routedPath, q).count()
     val b = Grep.query(spark, s"$out2/routed", q).count()

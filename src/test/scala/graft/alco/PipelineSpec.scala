@@ -17,7 +17,7 @@ class PipelineSpec extends SparkSpec {
   private lazy val (oracleRouted, oracleQuarantine) = NaiveOracle.route(collected)
 
   private lazy val out = tmpDir("pipe")
-  private lazy val result = Pipeline.run(spark, turns.toDF(), out, Pipeline.Config(saltBuckets = 8))
+  private lazy val result = Pipeline.run(spark, turns.toDF(), out, Pipeline.Config())
 
   test("generator is deterministic and skewed") {
     val again = Gen.turns(spark, n).collect().toSeq
@@ -97,7 +97,7 @@ class PipelineSpec extends SparkSpec {
 
   test("rerun of a committed batchId is an idempotent no-op") {
     result // batch 0 must have committed first
-    val r2 = Pipeline.run(spark, turns.toDF(), out, Pipeline.Config(saltBuckets = 8), batchId = 0L)
+    val r2 = Pipeline.run(spark, turns.toDF(), out, Pipeline.Config(), batchId = 0L)
     assert(r2.routedRows == 0L, "committed batch rerun must short-circuit")
     assert(r2.skippedCommitted > 0)
     val rows = spark.read.parquet(s"$out/routed").count()
@@ -109,14 +109,14 @@ class PipelineSpec extends SparkSpec {
     // Simulate a crash AFTER the data write but BEFORE the manifest commit:
     // run the pipeline fully, then delete the manifest — the data files are
     // now exactly what an interrupted run leaves behind (uncommitted).
-    Pipeline.run(spark, turns.toDF(), out3, Pipeline.Config(saltBuckets = 8), batchId = 0L)
+    Pipeline.run(spark, turns.toDF(), out3, Pipeline.Config(), batchId = 0L)
     val fs = java.nio.file.Paths.get(s"$out3/routed/_manifest")
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.list(fs).iterator().asScala.toSeq
       .foreach(java.nio.file.Files.delete)
     // Rerun the same batch: orphan cleanup must delete the uncommitted files
     // before writing, so the table ends exactly-once.
-    val r2 = Pipeline.run(spark, turns.toDF(), out3, Pipeline.Config(saltBuckets = 8), batchId = 0L)
+    val r2 = Pipeline.run(spark, turns.toDF(), out3, Pipeline.Config(), batchId = 0L)
     assert(r2.routedRows == oracleRouted.size)
     val routed = spark.read.parquet(s"$out3/routed")
     assert(routed.count() == oracleRouted.size, "rerun after crash is exactly-once")
@@ -133,12 +133,12 @@ class PipelineSpec extends SparkSpec {
     val out2 = tmpDir("pipe_merge")
     val cut = lit("2025-01-03 00:00:00").cast("timestamp")
     val half = turns.filter($"ts" < cut)
-    Pipeline.run(spark, half.toDF(), out2, Pipeline.Config(saltBuckets = 8), batchId = 0L)
+    Pipeline.run(spark, half.toDF(), out2, Pipeline.Config(), batchId = 0L)
     val partial = spark.read.parquet(s"$out2/routed").count()
     // batch 1 re-delivers ALL rows — overlapping days must merge via
     // REPLACE (the round-1 anti-join silently dropped new rows for
     // committed days), non-overlapping days append.
-    val r2 = Pipeline.run(spark, turns.toDF(), out2, Pipeline.Config(saltBuckets = 8), batchId = 1L)
+    val r2 = Pipeline.run(spark, turns.toDF(), out2, Pipeline.Config(), batchId = 1L)
     assert(r2.mergedPartitions > 0, "overlapping partitions must merge")
     val routed = spark.read.parquet(s"$out2/routed")
     assert(routed.count() > partial)
@@ -157,16 +157,16 @@ class PipelineSpec extends SparkSpec {
     val cut = lit("2025-01-03 00:00:00").cast("timestamp")
     val half = turns.filter($"ts" < cut)
     // writer A commits its batch 0
-    Pipeline.run(spark, half.toDF(), out4, Pipeline.Config(saltBuckets = 8),
+    Pipeline.run(spark, half.toDF(), out4, Pipeline.Config(),
       batchId = 0L, writerId = "writerA")
     val afterA = spark.read.parquet(s"$out4/routed").count()
     // writer A replaying batch 0 short-circuits…
-    val replay = Pipeline.run(spark, half.toDF(), out4, Pipeline.Config(saltBuckets = 8),
+    val replay = Pipeline.run(spark, half.toDF(), out4, Pipeline.Config(),
       batchId = 0L, writerId = "writerA")
     assert(replay.routedRows == 0L, "same writer's replay must no-op")
     // …but writer B's genuinely new batch 0 (e.g. a fresh streaming
     // checkpoint restarting numbering) must PROCESS, not silently drop
-    val rB = Pipeline.run(spark, turns.toDF(), out4, Pipeline.Config(saltBuckets = 8),
+    val rB = Pipeline.run(spark, turns.toDF(), out4, Pipeline.Config(),
       batchId = 0L, writerId = "writerB")
     assert(rB.routedRows > 0L, "a different writer's batch 0 must not be masked")
     val total = spark.read.parquet(s"$out4/routed").count()
@@ -180,7 +180,7 @@ class PipelineSpec extends SparkSpec {
     val withNullTool = turns.toDF()
       .withColumn("tool", when($"tool" === "", lit(null).cast("string"))
         .otherwise($"tool"))
-    val r = Pipeline.run(spark, withNullTool, out5, Pipeline.Config(saltBuckets = 8))
+    val r = Pipeline.run(spark, withNullTool, out5, Pipeline.Config())
     assert(r.routedRows == oracleRouted.size)
     val routed = spark.read.parquet(s"$out5/routed")
     assert(routed.count() == oracleRouted.size,
@@ -188,7 +188,7 @@ class PipelineSpec extends SparkSpec {
     assert(!routed.select($"tool_key").distinct().as[String].collect()
       .contains("__HIVE_DEFAULT_PARTITION__"))
     // rerunning (idempotent no-op) must not vacuum the null-tool files
-    Pipeline.run(spark, withNullTool, out5, Pipeline.Config(saltBuckets = 8))
+    Pipeline.run(spark, withNullTool, out5, Pipeline.Config())
     assert(spark.read.parquet(s"$out5/routed").count() == oracleRouted.size)
   }
 
@@ -198,7 +198,7 @@ class PipelineSpec extends SparkSpec {
     // duplicates and a manifest that names exactly the on-disk files
     // (verdict r3 task 7 — this was SinkSpec-only until round 4).
     val out6 = tmpDir("pipe_retention")
-    Pipeline.run(spark, turns.toDF(), out6, Pipeline.Config(saltBuckets = 8),
+    Pipeline.run(spark, turns.toDF(), out6, Pipeline.Config(),
       batchId = 0L)
     val total = spark.read.parquet(s"$out6/routed").count()
     val expired = Sink.expireDayPartitions(s"$out6/routed", "2025-01-03",
@@ -209,7 +209,7 @@ class PipelineSpec extends SparkSpec {
     // re-ingest the FULL input as a new batch: kept days REPLACE-merge,
     // expired days re-append — stale commit entries must not mask them
     val r = Pipeline.run(spark, turns.toDF(), out6,
-      Pipeline.Config(saltBuckets = 8), batchId = 2L)
+      Pipeline.Config(), batchId = 2L)
     assert(r.routedRows > 0)
     val routed = spark.read.parquet(s"$out6/routed")
     assert(routed.count() == oracleRouted.size,
@@ -224,7 +224,7 @@ class PipelineSpec extends SparkSpec {
     val out7 = tmpDir("pipe_compact")
     // tiny maxRecordsPerFile fragments every partition, simulating a day
     // of micro-batch commits
-    val cfgSmall = Pipeline.Config(saltBuckets = 8, maxRecordsPerFile = 500L)
+    val cfgSmall = Pipeline.Config(maxRecordsPerFile = 500L)
     Pipeline.run(spark, turns.toDF(), out7, cfgSmall, batchId = 0L)
     val routed = s"$out7/routed"
     def committedRows() = Manifest.readCommitted(spark, routed).get

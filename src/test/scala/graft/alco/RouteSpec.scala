@@ -17,7 +17,7 @@ class RouteSpec extends SparkSpec {
     val sweep = 0 until 3000000 by 65537
     val idxs = (boundary ++ sweep).distinct.sorted
     val df = idxs.map(i => ("conv_hot", i)).toDF("conv_id", "turn_idx")
-    val seqs = Route.stage(8)(df)
+    val seqs = Route.stage(df)
       .orderBy($"turn_idx").select($"seq").as[Long].collect()
     assert(seqs.length == idxs.length)
     assert(seqs.distinct.length == seqs.length, "seq must be unique")
@@ -27,8 +27,8 @@ class RouteSpec extends SparkSpec {
 
   test("seq orders turns across conversations deterministically") {
     val df = Seq(("a", 1), ("a", 2), ("b", 1)).toDF("conv_id", "turn_idx")
-    val s1 = Route.stage(8)(df).select($"conv_id", $"turn_idx", $"seq").collect().toSet
-    val s2 = Route.stage(8)(df).select($"conv_id", $"turn_idx", $"seq").collect().toSet
+    val s1 = Route.stage(df).select($"conv_id", $"turn_idx", $"seq").collect().toSet
+    val s2 = Route.stage(df).select($"conv_id", $"turn_idx", $"seq").collect().toSet
     assert(s1 == s2, "seq is a pure function of (conv_id, turn_idx)")
     assert(s1.map(_.getLong(2)).size == 3)
   }

@@ -10,7 +10,7 @@ class SinkSpec extends SparkSpec {
   test("retention expires old day partitions manifest-first, re-ingest unblocked") {
     val out = tmpDir("sink_retention")
     Pipeline.run(spark, Gen.turns(spark, 5000L).toDF(), out,
-      Pipeline.Config(saltBuckets = 4))
+      Pipeline.Config())
     val routed = s"$out/routed"
     val before = Manifest.committedPartitions(routed)
     val days = before.map(_.split("day=")(1)).toSeq.sorted
@@ -28,7 +28,7 @@ class SinkSpec extends SparkSpec {
     assert(remaining == 0L)
     // expired days can be re-ingested (their commit entries are gone)
     val r = Pipeline.run(spark, Gen.turns(spark, 5000L).toDF(), out,
-      Pipeline.Config(saltBuckets = 4), batchId = 100L)
+      Pipeline.Config(), batchId = 100L)
     assert(r.routedRows > 0)
     assert(spark.read.parquet(routed)
       .filter(col("day") < lit(cutoff).cast("date")).count() > 0)
