@@ -339,12 +339,16 @@ object SparkEntry {
     }),
 
     // ── similarity: IVF-bucketed ANN (deterministic k-means index; scale
-    // path complement to the LSH variant — rows-only, recall vs brute
-    // force proven in OpsSpec) ──
+    // path complement to the LSH variant). Registered at nprobe = nlist,
+    // where probing every list degenerates to EXACT search — so the full
+    // IVF machinery (k-means build, broadcast-centroid assignment, probe
+    // join, TopKRows ranking) is driver-oracled against the q24 brute-force
+    // SQL (VERDICT r4 #4); the nprobe < nlist recall behavior stays
+    // property-tested in OpsSpec ──
     "q42_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), 5,
-        nlist = 16, nprobe = 4)
+        nlist = 16, nprobe = 16)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
@@ -573,8 +577,70 @@ object SparkEntry {
     // ── SFT pair mining over transcripts: user turn → immediately
     // following assistant turn ──
     "q73_sft_pairs" -> ((s, dir) =>
-      Conversations.sftPairs(Gen.turns(s, 20000L).toDF()))
+      Conversations.sftPairs(Gen.turns(s, 20000L).toDF())),
+
+    // ── maintenance surface end-to-end (VERDICT r4 #6): ingest 4
+    // fragmenting batches (tiny maxRecordsPerFile + repeated COW merges
+    // leave every partition with many small files), compact, then
+    // RE-INGEST a redelivered slice on top of the compacted snapshot —
+    // the CAS commit chain and REPLACE semantics must keep working across
+    // a compaction. The file-count drop is asserted in-query (the oracle
+    // can only see rows); the row set must equal the classify-ok input
+    // exactly — compaction and the redelivery must neither lose nor
+    // duplicate a single row. ──
+    "q74_compact_cycle" -> ((s, dir) => {
+      val root = fixtureRoot("q74")
+      val turns = Gen.turns(s, 20000L).toDF()
+      val cfg = Pipeline.Config(maxRecordsPerFile = 100L)
+      (0 until 4).foreach { b =>
+        Pipeline.run(s, turns.filter(pmod(col("turn_idx"), lit(4)) === b),
+          root, cfg, batchId = b.toLong)
+      }
+      val r = Compact.compact(s, root, minFiles = 2)
+      if (r.compactedPartitions.isEmpty || r.filesAfter >= r.filesBefore)
+        throw new IllegalStateException(
+          s"compaction did not reduce the committed file count: $r")
+      Pipeline.run(s, turns.filter(pmod(col("turn_idx"), lit(4)) === 0),
+        root, cfg, batchId = 4L)
+      Manifest.readCommitted(s, s"$root/routed").get
+        .select(col("conv_id"), col("turn_idx"), col("tool"), col("role"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("text"),
+          unix_timestamp(col("ts")).as("epoch_s"))
+    }),
+
+    // ── E2 end-to-end (VERDICT r4 #7): ONE fused grep plan composing
+    // attribute filters + full-text match + a ts range that prunes day
+    // partitions + offset pagination, over a pipeline-built routed table.
+    // The exact total order — including the seq tiebreak, whose xxhash64
+    // has no DuckDB form — is replayed by the oracle via the dumped
+    // per-conversation seq_base sidecar. Plan shape (TakeOrderedAndProject
+    // + partition pruning) is pinned in PlanSpec. ──
+    "q75_grep_fused" -> ((s, dir) => {
+      val root = fixtureRoot("q75")
+      Pipeline.run(s, Gen.turns(s, 20000L).toDF(), root, batchId = 0L)
+      val q = Grep.Query(
+        terms = Seq("retry", "latency"), mode = Grep.MatchAny,
+        filters = Map("role" -> Seq("user", "assistant")),
+        tsFrom = Some(java.sql.Timestamp.from(
+          java.time.Instant.parse("2025-01-02T00:00:00Z"))),
+        tsTo = Some(java.sql.Timestamp.from(
+          java.time.Instant.parse("2025-01-04T12:00:00Z"))),
+        limit = 50, offset = 100)
+      Grep.query(s, s"$root/routed", q)
+        .select(col("conv_id"), col("turn_idx"), col("text"),
+          unix_timestamp(col("ts")).as("epoch_s"))
+    })
   )
+
+  /** Fresh fixed temp root for the queries that materialize a routed table
+    * (q74/q75): deleted up front so reruns are idempotent; left on disk
+    * afterwards because the returned DataFrame reads it lazily.
+    */
+  private def fixtureRoot(tag: String): String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_fixture_$tag"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    root
+  }
 
   /** Synthetic "next ingest batch" for q66/q67: a third of the corpus
     * re-arrives verbatim under fresh ids (must be dropped), another third
@@ -614,6 +680,10 @@ object SparkEntry {
     "read_parquet('__GRAFT_OUT__/pii_docs_input/*.parquet')"
   private def linedTable =
     "read_parquet('__GRAFT_OUT__/lined_docs_input/*.parquet')"
+  // exact cosine top-5 for queries vec_id < 5 — the oracle for BOTH the
+  // brute-force baseline (q24) and the full-probe IVF degenerate (q42)
+  private def bruteTopkSql =
+    "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5), s AS (SELECT q.query_id, c.vec_id AS neighbor_id, list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos FROM embeddings c, q WHERE c.vec_id <> q.query_id) SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s) t WHERE rank <= 5"
   // UTC day as a string via epoch arithmetic — make_timestamp(micros) is
   // timezone-naive in DuckDB, so the result is immune to how the reader
   // types Spark's parquet timestamps (TIMESTAMP vs TIMESTAMPTZ).
@@ -632,10 +702,12 @@ object SparkEntry {
 
   /** DuckDB oracles: bare table names resolve against the same sfDir;
     * `__GRAFT_OUT__` paths resolve against Verify's dump dir. Omitted keys
-    * (q22/q23/q25/q37/q38/q42/q48/q49/q60) are probabilistic/custom-hash/
+    * (q22/q25/q37/q38/q48/q49/q60/q67) are probabilistic/custom-hash/
     * k-means ops with no SQL equivalent → driver records rows-only checks
     * (their exactness is covered by OpsSpec recall/pigeonhole/subset
-    * proofs instead).
+    * proofs instead). q23 oracles its banding+verify stage over a dumped
+    * signature sidecar; q42 runs at nprobe=nlist where IVF is exact and
+    * shares q24's brute-force oracle.
     */
   def oracleSql: Map[String, String] = Map(
     "q33_alco_rollup" ->
@@ -686,10 +758,21 @@ object SparkEntry {
       "SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper FROM documents GROUP BY 1",
     "q20_dedup_drop" ->
       "SELECT source, count(*) AS n FROM documents WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text)) GROUP BY 1",
+    // q23 over the dumped signature sidecar (simhash_sigs_input — the
+    // 64-bit FNV-vote signature has no SQL form, but everything downstream
+    // of it does): 4×16-bit band extraction, same-chunk candidate join,
+    // hamming verify via bit_count(xor). (sig >> n) & 65535 ≡ Spark's
+    // shiftrightunsigned+mask — the mask discards DuckDB's sign extension.
+    "q23_simhash" ->
+      """WITH s AS (SELECT id, sig FROM read_parquet('__GRAFT_OUT__/simhash_sigs_input/*.parquet')), b AS (SELECT id, sig, band, (sig >> (band * 16)) & 65535 AS chunk FROM s CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(band)) SELECT DISTINCT a.id AS id_a, b2.id AS id_b, CAST(bit_count(xor(a.sig, b2.sig)) AS INT) AS hamming FROM b a JOIN b b2 ON a.band = b2.band AND a.chunk = b2.chunk AND a.id < b2.id WHERE bit_count(xor(a.sig, b2.sig)) <= 16""",
     "q21_jaccard_pairs" ->
       """WITH t AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '\w+')) AS toks FROM documents) SELECT a.doc_id AS id_a, b.doc_id AS id_b, round(CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) = 0 THEN 0.0 ELSE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(list_distinct(list_concat(a.toks, b.toks))) END, 6) AS jaccard FROM t a, t b WHERE a.doc_id % 7 = 0 AND a.doc_id < b.doc_id AND round(CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) = 0 THEN 0.0 ELSE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(list_distinct(list_concat(a.toks, b.toks))) END, 6) >= 0.5""",
-    "q24_ann_brute" ->
-      "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5), s AS (SELECT q.query_id, c.vec_id AS neighbor_id, list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos FROM embeddings c, q WHERE c.vec_id <> q.query_id) SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s) t WHERE rank <= 5",
+    "q24_ann_brute" -> bruteTopkSql,
+    // q42 probes EVERY inverted list (nprobe = nlist), so IVF degenerates
+    // to exact search and the brute-force SQL is its oracle too — the
+    // k-means build + broadcast-centroid assignment + probe join must
+    // reproduce exact top-k bit-for-bit to pass
+    "q42_ann_ivf" -> bruteTopkSql,
     "q26_langid" ->
       """WITH c AS (SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|in|that|it|for|was)\b')) AS BIGINT) AS sw_en, CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|de|un|une|que|pour)\b')) AS BIGINT) AS sw_fr, CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|von|ein|eine|zu|mit)\b')) AS BIGINT) AS sw_de, CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|de|un|una|que|por)\b')) AS BIGINT) AS sw_es FROM documents) SELECT doc_id, sw_en, sw_fr, sw_de, sw_es, CASE WHEN greatest(sw_en, sw_fr, sw_de, sw_es) = 0 THEN 'und' WHEN sw_en = greatest(sw_en, sw_fr, sw_de, sw_es) THEN 'en' WHEN sw_fr = greatest(sw_en, sw_fr, sw_de, sw_es) THEN 'fr' WHEN sw_de = greatest(sw_en, sw_fr, sw_de, sw_es) THEN 'de' WHEN sw_es = greatest(sw_en, sw_fr, sw_de, sw_es) THEN 'es' ELSE 'und' END AS lang_guess FROM c""",
     "q27_quality" ->
@@ -806,6 +889,17 @@ object SparkEntry {
     "q72_token_quantiles" ->
       """SELECT source, round(quantile_cont(n, 0.5), 6) AS p50, round(quantile_cont(n, 0.9), 6) AS p90, round(quantile_cont(n, 0.99), 6) AS p99 FROM (SELECT source, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n FROM documents) t GROUP BY source""",
     "q73_sft_pairs" ->
-      s"""SELECT conv_id, turn_idx AS prompt_idx, text AS prompt, next_text AS completion FROM (SELECT conv_id, turn_idx, role, text, lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_role, lead(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_text FROM $trTable) t WHERE role = 'user' AND next_role = 'assistant'"""
+      s"""SELECT conv_id, turn_idx AS prompt_idx, text AS prompt, next_text AS completion FROM (SELECT conv_id, turn_idx, role, text, lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_role, lead(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_text FROM $trTable) t WHERE role = 'user' AND next_role = 'assistant'""",
+    // q74: 4 fragmenting batches + compact + a verbatim redelivery must
+    // leave EXACTLY the classify-ok input rows (REPLACE keeps one copy of
+    // each redelivered key; compaction moves bytes, never rows)
+    "q74_compact_cycle" ->
+      s"""SELECT conv_id, turn_idx, tool, role, ${duckDay("ts")} AS day, text, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM $trTable WHERE $duckOk""",
+    // q75: the fused grep page — same classify gate, q36's token-match
+    // regex, the attribute + ts-range filters, and the EXACT order keys
+    // (ts DESC, seq DESC, conv_id, turn_idx) with seq rebuilt from the
+    // dumped per-conversation seq_base sidecar (seq = seq_base + turn_idx)
+    "q75_grep_fused" ->
+      s"""WITH sq AS (SELECT conv_id, seq_base FROM read_parquet('__GRAFT_OUT__/conv_seq_input/*.parquet')), m AS (SELECT t.conv_id, t.turn_idx, t.text, t.ts, sq.seq_base + t.turn_idx AS seq FROM $trTable t JOIN sq USING (conv_id) WHERE $duckOk AND regexp_matches(lower(text), '\\b(retry|latency)\\b') AND role IN ('user', 'assistant') AND ts >= TIMESTAMP '2025-01-02 00:00:00' AND ts <= TIMESTAMP '2025-01-04 12:00:00') SELECT conv_id, turn_idx, text, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM m ORDER BY ts DESC, seq DESC, conv_id, turn_idx LIMIT 50 OFFSET 100"""
   )
 }

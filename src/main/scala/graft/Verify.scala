@@ -111,6 +111,30 @@ object Verify {
     // planted multi-line documents for q58 line-level dedup
     graft.alco.Gen.linedDocs(spark, 4000L).coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/lined_docs_input")
+    // SimHash signatures of the sf documents, computed ONCE by the custom
+    // codegen'd expression and dumped so the q23 oracle can replay the
+    // banding + hamming verify in pure SQL (VERDICT r4 #4). The signature
+    // function itself has no SQL equivalent (FNV-1a bit votes); its
+    // determinism/pigeonhole properties are pinned in OpsSpec.
+    locally {
+      import org.apache.spark.sql.functions.{col, shiftleft, xxhash64}
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").as("id"),
+          graft.functions.GraftFunctions.simhash64(
+            graft.ops.TextOps.tokens(col("text"))).as("sig"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/simhash_sigs_input")
+      // per-conversation seq bases (Route.seqCol = (xxhash64(conv_id) << 32)
+      // + turn_idx): lets the q75 oracle replay the grep surface's exact
+      // total order — xxhash64 has no DuckDB equivalent, but the per-conv
+      // base is just data
+      graft.alco.Gen.turns(spark, 20000L).toDF()
+        .select(col("conv_id")).distinct()
+        .select(col("conv_id"),
+          shiftleft(xxhash64(col("conv_id")), 32).as("seq_base"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/conv_seq_input")
+    }
 
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT", "240").toLong
     dumpAll(spark, sfDir, outDir, SparkEntry.queries, budgetSec)

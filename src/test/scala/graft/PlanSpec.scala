@@ -101,6 +101,22 @@ class PlanSpec extends SparkSpec {
       s"q14 must bound with a distributed top-k first:\n$p")
   }
 
+  test("q75 fused grep: one plan with partition pruning + bounded top-k") {
+    // The E2 composition (filters + match + ts range + offset pagination)
+    // must stay ONE fused scan plan: the day/role predicates prune
+    // partition DIRECTORIES (never a full-table scan), and the page is
+    // bounded by a distributed TakeOrdered of offset+limit rows before the
+    // 150-row window — never a global sort of the matches.
+    val p = plan(SparkEntry.queries("q75_grep_fused")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q75 must bound the page with a distributed top-k:\n$p")
+    val pruned = "PartitionFilters: \\[[^\\]]*day".r.findFirstIn(p)
+    assert(pruned.nonEmpty,
+      s"q75 must prune day partitions at the scan:\n$p")
+    assert("PartitionFilters: \\[[^\\]]*role".r.findFirstIn(p).nonEmpty,
+      s"q75 role IN filter must prune role partitions:\n$p")
+  }
+
   test("q21 jaccard pairs plans no cartesian product") {
     val p = plan(SparkEntry.queries("q21_jaccard_pairs")(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),

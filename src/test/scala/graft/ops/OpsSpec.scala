@@ -236,6 +236,59 @@ class OpsSpec extends SparkSpec {
     assert(rows.length == 3 * 5, s"expected 15 ranked rows, got ${rows.length}")
   }
 
+  test("IVF centroids are broadcast data, not plan literals: nlist=1000 plans and runs") {
+    // VERDICT r4 #2: the literal-centroid argmin was O(nlist·dim) expression
+    // nodes — fine at 16, unanalyzable at the nlist ≈ corpus/clusterSize
+    // (10⁵-10⁶) that 100 TB SemDeDup needs. With centroids as a broadcast
+    // DataFrame the plan is O(1) in nlist; this pins 1000 inside the same
+    // ceiling the nlist=16 case uses.
+    val vecs = (0 until 2000).map { i =>
+      (i.toLong, (0 until 8).map(d => math.sin(i * 0.37 + d * 1.13).toFloat).toArray)
+    }.toDF("vec_id", "embedding").cache()
+    val t0 = System.nanoTime()
+    val (assigned, centroids) = Similarity.ivfAssign(vecs, nlist = 1000, iters = 1)
+    assigned.queryExecution.executedPlan // force analysis + physical planning
+    val planSec = (System.nanoTime() - t0) / 1e9
+    assert(planSec < 60.0, f"nlist=1000 build+planning took $planSec%.1f s")
+    assert(centroids.count() == 1000L)
+    val a = assigned.collect()
+    assert(a.length == 2000)
+    val clusters = a.map(_.getInt(2))
+    assert(clusters.forall(c => c >= 0 && c < 1000))
+    assert(clusters.distinct.length > 500, "assignment collapsed — argmin broken")
+  }
+
+  test("cosineNearDups maxBucket guard: capped ⊆ uncapped ⊆ exact; pileup still pairs") {
+    // 60 IDENTICAL embeddings (an exact-duplicate pileup LSH can never
+    // split — every one lands in the same bucket) + 40 spread vectors.
+    val pile = (0 until 60).map(i =>
+      (i.toLong, (0 until 8).map(d => (d + 1).toFloat / 8f).toArray))
+    val rest = (60 until 100).map(i =>
+      (i.toLong, (0 until 8).map(d => math.sin(i * 0.91 + d * 1.7).toFloat).toArray))
+    val vecs = (pile ++ rest).toDF("vec_id", "embedding").cache()
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosineNearDupsExact(vecs, 0.99))
+    val uncapped = pairs(Similarity.cosineNearDups(vecs, 0.99, planes = 4))
+    val capped = pairs(Similarity.cosineNearDups(vecs, 0.99, planes = 4,
+      maxBucket = 8))
+    assert(capped.subsetOf(uncapped), "capping must only remove pairs")
+    assert(uncapped.subsetOf(exact), "bucketing must only remove pairs")
+    // sub-chunking (not dropping) keeps within-chunk pileup pairs alive:
+    // 60 identical vectors over ⌈60/8⌉ chunks still collide inside chunks
+    val pileIds = (0 until 60).map(_.toLong).toSet
+    assert(capped.exists(p => pileIds(p._1) && pileIds(p._2)),
+      "identical-embedding pileup lost ALL pairs under the cap")
+    // work bound: no chunk exceeds ~maxBucket members, so the capped pair
+    // count among pile ids is far below the uncapped 60·59/2
+    val cappedPile = capped.count(p => pileIds(p._1) && pileIds(p._2))
+    assert(cappedPile < 600, s"cap did not bound pileup pair work ($cappedPile)")
+    // a cap larger than any bucket is a no-op
+    val wide = pairs(Similarity.cosineNearDups(vecs, 0.99, planes = 4,
+      maxBucket = 100000L))
+    assert(wide == uncapped)
+  }
+
   test("hash sampling is deterministic, partition-invariant, and splits cleanly") {
     val df = (0L until 5000L).map(i => (i, s"payload $i")).toDF("id", "text")
     val s1 = Sampling.hashSample(df, "id", 20).select($"id").as[Long].collect().toSet
