@@ -86,6 +86,29 @@ class StreamingSpec extends SparkSpec {
     assert(table() == expected, "replay must be a no-op rewrite of v-1")
   }
 
+  test("rollup upsert vacuums versions beyond the replay-safe window") {
+    // ADVICE r4: a long-running stream otherwise accumulates one full
+    // rollup-table copy per trigger. Versions strictly older than the 2
+    // below the current batch are unreachable (readers take the highest;
+    // a replay of batch B merges from the highest version < B) and must
+    // be deleted; the merge base and the latest version must survive.
+    val out = tmpDir("rollup_vacuum")
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    (0L to 5L).foreach { b =>
+      StreamPipeline.upsertRollup(
+        Seq(("bash", "tool", t(b * 86400), b + 1))
+          .toDF("tool", "role", "window_start", "n"), out, b)
+    }
+    val versions = new java.io.File(out).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("v-"))
+      .map(_.getName.stripPrefix("v-").toLong).sorted.toSeq
+    assert(versions == Seq(3L, 4L, 5L),
+      s"expected only the replay window {3,4,5}, found v-$versions")
+    // the surviving latest version still reads back the full merged table
+    val n = StreamPipeline.readRollup(spark, out).get.count()
+    assert(n == 6L, s"merged table must survive the vacuum, got $n rows")
+  }
+
   private def sessSource(dir: String, maxFiles: Int) = {
     import org.apache.spark.sql.Encoders
     spark.readStream
