@@ -2,7 +2,7 @@ package graft
 
 import graft.alco._
 import graft.ops._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -629,6 +629,83 @@ object SparkEntry {
       Grep.query(s, s"$root/routed", q)
         .select(col("conv_id"), col("turn_idx"), col("text"),
           unix_timestamp(col("ts")).as("epoch_s"))
+    }),
+
+    // ── ANN-LSH degenerate-parameter bridge (the q42 pattern): with ONE
+    // hyperplane the multi-probe list {bucket, bucket^1} covers BOTH
+    // possible buckets, so lshTopK provably scans the whole corpus and
+    // must reproduce exact top-k bit-for-bit — a hash oracle for the
+    // bucketing/probe-join/TopKRows machinery that planes=8 (q25, the
+    // real scale shape) cannot have. OpsSpec pins the same equivalence. ──
+    "q76_ann_lsh_exhaustive" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), 5, planes = 1)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
+    // ── SemDeDup degenerate-parameter bridge: nlist=1 puts every row in
+    // one cluster, so the pair stage provably equals exact all-pairs
+    // cosine (OpsSpec pins the equivalence) and DuckDB's
+    // list_cosine_similarity can oracle it. ids-only output: pair
+    // MEMBERSHIP at tau=0.2 has a >=5e-7 threshold margin on this data
+    // (measured at sf0.01 and sf0.1), so double summation-order
+    // differences between engines cannot flip a pair, whereas raw cos
+    // VALUES could straddle a 6-decimal rounding boundary. The
+    // single-cluster pair join is the documented degeneracy, not the
+    // scale shape — q60 runs the real cluster-bounded nlist. ──
+    "q77_semdedup_exact" -> ((s, dir) =>
+      Similarity.semDedupPairs(t(s, dir, "embeddings"), tau = 0.2, nlist = 1)
+        .select(col("id_a"), col("id_b"))),
+
+    // ── MinHash structural-recall bridge: a planted corpus where every
+    // text is a pure function of its group (doc_id % 97) — within-group
+    // shingle sets are IDENTICAL (equal signatures ⇒ every band collides
+    // ⇒ candidate recall is exactly 1, no probability involved) and
+    // cross-group sets are DISJOINT (a banding false positive dies at the
+    // exact-Jaccard verify). The emitted pair set is therefore fully
+    // deterministic and SQL-expressible even though the signature hash
+    // mixing is not; jaccard is exactly 1.0 (integer set ratio), safe to
+    // emit. q22 stays the probabilistic real-data shape. ──
+    "q78_minhash_planted" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(11)),
+          j => concat(lit("g"), (col("doc_id") % 97).cast("string"),
+            lit("w"), j.cast("string")))).as("text"))
+      Dedup.minhashNearDups(planted, "doc_id", "text",
+        shingleN = 3, k = 32, bands = 8, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    // ── cosine near-dup degenerate-parameter bridge: planes=0 puts the
+    // whole corpus in ONE sign-LSH bucket (and 500 rows < maxBucket, so no
+    // sub-chunking), making the bucketed pair machinery provably exact —
+    // a hash oracle for the bucket/size/chunk-join plumbing that q38's
+    // real planesForCount shape cannot have. ids-only for the same
+    // rounding-straddle reason as q77 (membership margin >= 5e-7 here). ──
+    "q79_cos_neardup_exact" -> ((s, dir) =>
+      Similarity.cosineNearDups(t(s, dir, "embeddings"), threshold = 0.2,
+        planes = 0).select(col("id_a"), col("id_b"))),
+
+    // ── incremental near-dup planted bridge (q78's construction applied to
+    // q67's cross-snapshot machinery): reference texts are a pure function
+    // g(doc_id % 97); batch rows carry g(group) for EVEN groups (identical
+    // shingle sets vs the reference ⇒ jaccard 1 ⇒ dropped) and a
+    // token-disjoint h(group) for ODD groups (jaccard 0 ⇒ kept; any band
+    // collision dies at the exact-Jaccard verify). The survivor set is
+    // therefore fully deterministic: batch ids with odd group. ──
+    "q80_neardup_incremental_planted" -> ((s, dir) => {
+      def planted(prefixCol: Column): Column =
+        concat_ws(" ", transform(sequence(lit(0), lit(11)),
+          j => concat(prefixCol, (col("doc_id") % 97).cast("string"),
+            lit("w"), j.cast("string"))))
+      val ref = t(s, dir, "documents")
+        .select(col("doc_id"), planted(lit("g")).as("text"))
+      val batch = t(s, dir, "documents")
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          when(col("doc_id") % 97 % 2 === 0, planted(lit("g")))
+            .otherwise(planted(lit("h"))).as("text"))
+      Dedup.dropSeenNearDup(batch, ref, "doc_id", "text", threshold = 0.6)
+        .select(col("doc_id"))
     })
   )
 
@@ -707,7 +784,10 @@ object SparkEntry {
     * (their exactness is covered by OpsSpec recall/pigeonhole/subset
     * proofs instead). q23 oracles its banding+verify stage over a dumped
     * signature sidecar; q42 runs at nprobe=nlist where IVF is exact and
-    * shares q24's brute-force oracle.
+    * shares q24's brute-force oracle. q76/q77/q78/q79/q80 are the
+    * degenerate-parameter / planted-fixture bridges that give the
+    * q25/q60/q22/q38/q67 machinery hash oracles on provably-exact
+    * configurations.
     */
   def oracleSql: Map[String, String] = Map(
     "q33_alco_rollup" ->
@@ -773,6 +853,25 @@ object SparkEntry {
     // k-means build + broadcast-centroid assignment + probe join must
     // reproduce exact top-k bit-for-bit to pass
     "q42_ann_ivf" -> bruteTopkSql,
+    // q76 probes both buckets of a 1-plane LSH index — exhaustive scan, so
+    // the brute-force SQL is its oracle too (see the query's scaladoc)
+    "q76_ann_lsh_exhaustive" -> bruteTopkSql,
+    // q77: nlist=1 SemDeDup pairs ≡ exact all-pairs cosine; ids-only (the
+    // tau=0.2 membership margin is >=5e-7 on this data, rounding-proof)
+    "q77_semdedup_exact" ->
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM e a, e b WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.v, b.v) >= 0.2",
+    // q78: the planted corpus makes text a pure function of doc_id % 97,
+    // so near-dup pairs = within-group pairs with jaccard exactly 1.0
+    "q78_minhash_planted" ->
+      "WITH p AS (SELECT doc_id FROM documents) SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1.0 AS jaccard FROM p a JOIN p b ON a.doc_id % 97 = b.doc_id % 97 AND a.doc_id < b.doc_id",
+    // q79: planes=0 cosineNearDups ≡ exact all-pairs cosine (one bucket,
+    // no sub-chunk at this size) — same exact-pairs SQL as q77
+    "q79_cos_neardup_exact" ->
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM e a, e b WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.v, b.v) >= 0.2",
+    // q80: planted incremental near-dup — survivors are exactly the batch
+    // rows whose group is odd (see the query's scaladoc)
+    "q80_neardup_incremental_planted" ->
+      "SELECT doc_id + 1000000 AS doc_id FROM documents WHERE (doc_id % 97) % 2 = 1",
     "q26_langid" ->
       """WITH c AS (SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|in|that|it|for|was)\b')) AS BIGINT) AS sw_en, CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|de|un|une|que|pour)\b')) AS BIGINT) AS sw_fr, CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|von|ein|eine|zu|mit)\b')) AS BIGINT) AS sw_de, CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|de|un|una|que|por)\b')) AS BIGINT) AS sw_es FROM documents) SELECT doc_id, sw_en, sw_fr, sw_de, sw_es, CASE WHEN greatest(sw_en, sw_fr, sw_de, sw_es) = 0 THEN 'und' WHEN sw_en = greatest(sw_en, sw_fr, sw_de, sw_es) THEN 'en' WHEN sw_fr = greatest(sw_en, sw_fr, sw_de, sw_es) THEN 'fr' WHEN sw_de = greatest(sw_en, sw_fr, sw_de, sw_es) THEN 'de' WHEN sw_es = greatest(sw_en, sw_fr, sw_de, sw_es) THEN 'es' ELSE 'und' END AS lang_guess FROM c""",
     "q27_quality" ->

@@ -67,16 +67,12 @@ object Grep {
         lowered.map(t => when(array_contains(tokens(col("text")), t), 1)
           .otherwise(0)).reduce(_ + _) >= k
       case MatchProximity(span) =>
-        // positional check needs gap-free token positions, so empties from
-        // split (leading/duplicate separators) are dropped first; then:
-        // ∃ window start i such that every term occurs in tokens[i, i+span).
-        // O(len·terms·span) per row — the HOF chain is interpreted
-        // (HigherOrderFunctions are CodegenFallback) but stays a single
-        // projection: no shuffle, no UDF.
-        val toks = filter(tokens(col("text")), t => t =!= "")
-        exists(sequence(lit(1), greatest(size(toks), lit(1))),
-          i => lowered.map(t => array_contains(slice(toks, i, lit(span)), t))
-            .reduce(_ && _))
+        // ∃ window of `span` consecutive tokens containing every term —
+        // a codegen'd single-pass byte scan (graft.functions.ProximityMatch;
+        // the interpreted exists/slice HOF chain it replaced was
+        // CodegenFallback and O(tokens·terms·span)). One projection: no
+        // shuffle, no UDF, no array materialization.
+        graft.functions.GraftFunctions.proximity_match(col("text"), lowered, span)
     }
   }
 

@@ -255,6 +255,8 @@ object GraftFunctions {
     ColumnBridge.column(WordShingleHashes(ColumnBridge.expression(text), n))
   def minhash_slots(hashes: Column, k: Int): Column =
     ColumnBridge.column(MinHashSlots(ColumnBridge.expression(hashes), k))
+  def proximity_match(text: Column, terms: Seq[String], span: Int): Column =
+    ColumnBridge.column(ProximityMatch(ColumnBridge.expression(text), terms, span))
 
   /** Register simhash64 / rolling_hash64 for spark.sql(...) use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -68,9 +68,14 @@ object Similarity {
   private def planeComponent(plane: Int, d: Column): Column =
     (pmod(xxhash64(lit(plane), d), lit(20001L)) - 10000L).cast("double") / 10000.0
 
-  /** Sign-LSH bucket id: one bit per hyperplane = sign of dot(v, plane). */
+  /** Sign-LSH bucket id: one bit per hyperplane = sign of dot(v, plane).
+    * `planes = 0` is the documented degeneracy: ONE bucket, so bucketed
+    * near-dup ops become exact all-pairs — the q79 oracle-bridge config,
+    * never the scale shape.
+    */
   def lshBucket(vec: Column, planes: Int): Column =
-    (0 until planes).map { p =>
+    if (planes == 0) lit(0L)
+    else (0 until planes).map { p =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
           (x, i) => x.cast("double") * planeComponent(p, i)),

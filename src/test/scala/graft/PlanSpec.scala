@@ -135,6 +135,11 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("Exchange"),
         s"$q must be a scan+filter with no shuffle:\n$p")
     }
+    // q45's predicate is the codegen'd single-pass expression, not the
+    // interpreted exists/slice HOF chain it replaced
+    val p45 = plan(SparkEntry.queries("q45_match_proximity")(spark, dir))
+    assert(p45.contains("proximity_match") && !p45.contains("exists("),
+      s"q45 must filter via graft.functions.ProximityMatch:\n$p45")
   }
 
   test("q51/q52 curation projections are shuffle-free; q53 is one hash shuffle") {

@@ -147,4 +147,44 @@ class ExprSpec extends SparkSpec {
     assert(byRow(reverse = false) == oracleMax)
     assert(byRow(reverse = true) == oracleMin)
   }
+
+  test("proximity_match equals the HOF reference chain on randomized corpora") {
+    // the exists/slice formulation it replaced, kept here as the oracle
+    def hofProximity(terms: Seq[String], span: Int) = {
+      val toks = filter(split(lower($"text"), "\\W+"), t => t =!= "")
+      exists(sequence(lit(1), greatest(size(toks), lit(1))),
+        i => terms.map(t => array_contains(slice(toks, i, lit(span)), t))
+          .reduce(_ && _))
+    }
+    val vocab = Seq("spark", "table", "scan", "join", "x1", "_u", "42")
+    val rng = new scala.util.Random(7)
+    val texts = (0 until 400).map { i =>
+      val sep = Seq(" ", ", ", "  --  ", "\t", "!")
+      (0 until rng.nextInt(30)).map(_ => vocab(rng.nextInt(vocab.length)))
+        .mkString(sep(rng.nextInt(sep.length))) + (if (i % 7 == 0) "," else "")
+    } :+ "" :+ "SPARK Table spark" :+ "spark_table spark table"
+    val df = texts.toDF("text").cache()
+    for ((terms, span) <- Seq(
+        (Seq("spark", "table"), 2), (Seq("spark", "table"), 4),
+        (Seq("spark", "join", "scan"), 3), (Seq("42"), 1))) {
+      val fast = df.select(GraftFunctions.proximity_match($"text", terms, span))
+        .collect().map(_.getBoolean(0)).toSeq
+      val slow = df.select(hofProximity(terms, span).cast("boolean"))
+        .collect().map(_.getBoolean(0)).toSeq
+      assert(fast == slow, s"terms=$terms span=$span")
+    }
+    // null text → null, matching the HOF chain
+    val nulled = Seq[String](null).toDF("text")
+      .select(GraftFunctions.proximity_match($"text", Seq("a"), 2)).collect()
+    assert(nulled(0).isNullAt(0))
+    // interpreted eval path agrees with codegen
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = df.select(GraftFunctions.proximity_match($"text", Seq("spark", "table"), 4))
+        .collect().map(_.getBoolean(0)).toSeq
+      val gen = df.select(hofProximity(Seq("spark", "table"), 4).cast("boolean"))
+        .collect().map(_.getBoolean(0)).toSeq
+      assert(interp == gen)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
 }

@@ -195,6 +195,21 @@ class OpsSpec extends SparkSpec {
     assert(lshPairs.subsetOf(exactPairs))
   }
 
+  test("LSH topk with one plane + multi-probe is EXACT (the q76 oracle bridge)") {
+    // planes=1 → the probe list {bucket, bucket^1} covers both possible
+    // buckets, so the bucketed scan is exhaustive and must reproduce
+    // brute-force top-k including rank order and tie-breaks.
+    val vecs = (0 until 300).map { i =>
+      (i.toLong, (0 until 16).map(d => math.sin(i * 0.37 + d * 1.13).toFloat).toArray)
+    }.toDF("vec_id", "embedding").cache()
+    val queries = vecs.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(vecs, queries, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val oneplane = Similarity.lshTopK(vecs, queries, 10, planes = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(oneplane == exact, "1-plane multi-probe LSH must equal brute force")
+  }
+
   test("IVF topk: deterministic index, decent recall, subset soundness") {
     val vecs = (0 until 300).map { i =>
       (i.toLong, (0 until 16).map(d => math.sin(i * 0.37 + d * 1.13).toFloat).toArray)
@@ -287,6 +302,27 @@ class OpsSpec extends SparkSpec {
     val wide = pairs(Similarity.cosineNearDups(vecs, 0.99, planes = 4,
       maxBucket = 100000L))
     assert(wide == uncapped)
+    // planes=0 → ONE bucket, size < maxBucket → provably exact (the q79
+    // oracle bridge): the bucketed machinery must reproduce all-pairs
+    val oneBucket = pairs(Similarity.cosineNearDups(vecs, 0.99, planes = 0,
+      maxBucket = 100000L))
+    assert(oneBucket == exact, "planes=0 cosineNearDups must equal exact")
+  }
+
+  test("dropSeenNearDup on the planted corpus keeps exactly the odd groups (q80 bridge)") {
+    // texts a pure function of group: even batch groups duplicate the
+    // reference (jaccard 1 → dropped), odd carry token-disjoint text
+    // (jaccard 0 → kept); survivors are deterministic.
+    def planted(prefix: String, id: Long) =
+      (0 until 12).map(j => s"$prefix${id % 13}w$j").mkString(" ")
+    val ref = (0L until 60L).map(i => (i, planted("g", i))).toDF("doc_id", "text")
+    val batch = (0L until 60L).map { i =>
+      (i + 1000L, if (i % 13 % 2 == 0) planted("g", i) else planted("h", i))
+    }.toDF("doc_id", "text")
+    val kept = Dedup.dropSeenNearDup(batch, ref, "doc_id", "text", threshold = 0.6)
+      .select($"doc_id").as[Long].collect().toSet
+    val expected = (0L until 60L).filter(i => i % 13 % 2 == 1).map(_ + 1000L).toSet
+    assert(kept == expected, s"got ${kept.size} vs ${expected.size}")
   }
 
   test("hash sampling is deterministic, partition-invariant, and splits cleanly") {
