@@ -706,6 +706,29 @@ object SparkEntry {
             .otherwise(planted(lit("h"))).as("text"))
       Dedup.dropSeenNearDup(batch, ref, "doc_id", "text", threshold = 0.6)
         .select(col("doc_id"))
+    }),
+
+    // ── O14 term-index prune (the Sphinx inverted-index remnant, SURVEY §2
+    // O14 stretch): build the per-file token-bloom sidecar over a
+    // pipeline-built routed table, then run a grep whose MATCH probes it.
+    // The rare number tokens occur in a handful of the ~90 partition
+    // files, so the in-query guard asserts the index actually pruned;
+    // correctness is the same routed-visible row set the oracle replays —
+    // pruning may never change the answer, only the scanned file list
+    // (GrepSpec pins the equivalence across every match mode). ──
+    "q81_grep_term_index" -> ((s, dir) => {
+      val root = fixtureRoot("q81")
+      Pipeline.run(s, Gen.turns(s, 20000L).toDF(), root, batchId = 0L)
+      TermIndex.build(s, root, numBits = 1 << 16)
+      val terms = Seq("421", "137")
+      val pr = TermIndex.pruneFiles(s, s"$root/routed", terms, 1).get
+      if (pr.keep.size >= pr.total)
+        throw new IllegalStateException(
+          s"term index failed to prune: kept ${pr.keep.size} of ${pr.total}")
+      Grep.query(s, s"$root/routed",
+          Grep.Query(terms = terms, mode = Grep.MatchAny, limit = 1000))
+        .select(col("conv_id"), col("turn_idx"), col("text"),
+          unix_timestamp(col("ts")).as("epoch_s"))
     })
   )
 
@@ -872,6 +895,11 @@ object SparkEntry {
     // rows whose group is odd (see the query's scaladoc)
     "q80_neardup_incremental_planted" ->
       "SELECT doc_id + 1000000 AS doc_id FROM documents WHERE (doc_id % 97) % 2 = 1",
+    // q81: bloom pruning may only change the files scanned, never the rows —
+    // the oracle is the plain routed-visible MATCH-ANY row set (far below
+    // the query's 1000 limit, so ordering/pagination don't bind)
+    "q81_grep_term_index" ->
+      s"""SELECT conv_id, turn_idx, text, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM $trTable WHERE $duckOk AND regexp_matches(lower(text), '\\b(421|137)\\b')""",
     "q26_langid" ->
       """WITH c AS (SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|in|that|it|for|was)\b')) AS BIGINT) AS sw_en, CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|de|un|une|que|pour)\b')) AS BIGINT) AS sw_fr, CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|von|ein|eine|zu|mit)\b')) AS BIGINT) AS sw_de, CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|de|un|una|que|por)\b')) AS BIGINT) AS sw_es FROM documents) SELECT doc_id, sw_en, sw_fr, sw_de, sw_es, CASE WHEN greatest(sw_en, sw_fr, sw_de, sw_es) = 0 THEN 'und' WHEN sw_en = greatest(sw_en, sw_fr, sw_de, sw_es) THEN 'en' WHEN sw_fr = greatest(sw_en, sw_fr, sw_de, sw_es) THEN 'fr' WHEN sw_de = greatest(sw_en, sw_fr, sw_de, sw_es) THEN 'de' WHEN sw_es = greatest(sw_en, sw_fr, sw_de, sw_es) THEN 'es' ELSE 'und' END AS lang_guess FROM c""",
     "q27_quality" ->

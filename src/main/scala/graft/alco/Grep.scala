@@ -107,8 +107,67 @@ object Grep {
     Manifest.readCommitted(spark, routedPath)
       .getOrElse(spark.read.parquet(routedPath))
 
+  private def pureToken(t: String): Boolean =
+    t.nonEmpty && t.forall(c =>
+      (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_')
+
+  /** Term-index probe plan: which tokens a matching row's file MUST contain,
+    * and how many of them must hit (TermIndex sidecar semantics). None =
+    * bloom pruning is not applicable for this query — never wrong, just a
+    * full scan. Soundness per mode (tokens(text) never contains non-word
+    * chars, so a term that is not a pure token can never equal a token):
+    *  - ANY: a row matches only via a pure-token term, so a candidate file
+    *    must contain >= 1 of the pure subset;
+    *  - ALL / PROXIMITY: every term must occur as a whole token — only
+    *    prunable when all terms are pure (a non-pure term makes the
+    *    predicate constant-false; full scan of that is still correct);
+    *  - PHRASE: the rlike pattern quotes each term literally, so a term
+    *    with separators ("a.b") matches across TWO tokens — probe the
+    *    terms' word-tokens instead, all required;
+    *  - QUORUM(k): k of the (pure) terms must occur as tokens.
+    * notTerms never prune (negation has no bloom form).
+    */
+  private[alco] def probePlan(q: Query): Option[(Seq[String], Int)] = {
+    val lowered = q.terms.map(_.toLowerCase)
+    if (lowered.isEmpty) return None
+    q.mode match {
+      case MatchAny =>
+        val pure = lowered.filter(pureToken).distinct
+        if (pure.isEmpty) None else Some((pure, 1))
+      case MatchAll | MatchProximity(_) =>
+        if (!lowered.forall(pureToken)) None
+        else { val d = lowered.distinct; Some((d, d.size)) }
+      case MatchPhrase =>
+        val toks = lowered.flatMap(_.split("\\W+")).filter(_.nonEmpty).distinct
+        if (toks.isEmpty) None else Some((toks, toks.size))
+      case MatchQuorum(k) =>
+        if (!lowered.forall(pureToken)) None
+        else { val d = lowered.distinct; Some((d, math.min(k, d.size))) }
+    }
+  }
+
+  /** The scan a query runs over: the TermIndex-pruned committed file set
+    * when a sidecar index exists and the match is prunable, else the full
+    * committed table. The pruned read uses the file list the probe derived
+    * (ONE manifest resolution — no re-read race), with `basePath` so
+    * day/tool_key/role partition pruning still composes on top.
+    */
+  private def source(spark: SparkSession, routedPath: String, q: Query): DataFrame =
+    probePlan(q).flatMap { case (toks, minMatch) =>
+      TermIndex.pruneFiles(spark, routedPath, toks, minMatch)
+    } match {
+      case Some(p) if p.keep.isEmpty =>
+        // no file can satisfy the match: keep the schema (one footer), zero rows
+        spark.read.option("basePath", routedPath)
+          .parquet(s"$routedPath/${p.firstCommitted}").filter(lit(false))
+      case Some(p) =>
+        spark.read.option("basePath", routedPath)
+          .parquet(p.keep.map(f => s"$routedPath/$f"): _*)
+      case None => table(spark, routedPath)
+    }
+
   def query(spark: SparkSession, routedPath: String, q: Query): DataFrame =
-    ordered(table(spark, routedPath).filter(predicates(q)), q)
+    ordered(source(spark, routedPath, q).filter(predicates(q)), q)
 
   /** Multi-sink grep (alco greps one index; the shard-union shape
     * generalizes): restrict one routed table to a set of (tool, role) sinks.
@@ -165,7 +224,7 @@ object Grep {
   /** Pagination total (alco: Sphinx total_found, bounded by max_matches). */
   def total(spark: SparkSession, routedPath: String, q: Query,
             maxMatches: Option[Int] = None): Long =
-    Agg.matchCount(table(spark, routedPath).filter(predicates(q)), maxMatches)
+    Agg.matchCount(source(spark, routedPath, q).filter(predicates(q)), maxMatches)
 
   /** Context view (O28): the ±n turns around a hit within its conversation
     * (alco: neighboring loglines in the same context group).

@@ -25,7 +25,29 @@ object PipelineMain {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: PipelineMain <inPath> <outRoot> [batchId] [writerId]\n" +
-        "   or: PipelineMain --compact <outRoot> [minFiles]")
+        "   or: PipelineMain --compact <outRoot> [minFiles]\n" +
+        "   or: PipelineMain --index <outRoot> [numBits]")
+    // maintenance mode: refresh the per-file term-Bloom index (the Sphinx
+    // `indexer` analog) — incremental, only new files' text is scanned
+    if (args(0) == "--index") {
+      val preexisting = SparkSession.getActiveSession
+        .orElse(SparkSession.getDefaultSession)
+      val spark = preexisting.getOrElse(SparkSession.builder()
+        .appName("alcospark-termindex")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate())
+      try {
+        val r = TermIndex.build(spark, args(1),
+          numBits = if (args.length > 2) args(2).toInt else 1 << 23)
+        r match {
+          case Some(b) => println(s"""{"snapshot_id":${b.snapshotId},""" +
+            s""""indexed_files":${b.indexedFiles},""" +
+            s""""fresh_files":${b.freshFiles},"reused_files":${b.reusedFiles}}""")
+          case None => println("""{"indexed_files":0,"note":"no committed snapshot"}""")
+        }
+      } finally if (preexisting.isEmpty) spark.stop()
+      return
+    }
     // maintenance mode: spark-submit --class ... alcospark.jar --compact
     // <outRoot> [minFiles] — the cron-able Sphinx-OPTIMIZE analog
     if (args(0) == "--compact") {

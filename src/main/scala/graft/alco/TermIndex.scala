@@ -1,0 +1,180 @@
+package graft.alco
+
+import graft.functions.{BloomTermsHit, TokenBloomAgg}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-file term-Bloom index for the grep surface — the prunable remnant of
+  * alco's Sphinx inverted index (SURVEY §2 O14 stretch goal). Sphinx kept a
+  * full postings list per term; at the 100 TB design point the equivalent
+  * Spark-native artifact is a SIDECAR table with one row per committed data
+  * file: (file, bloom-of-its-text-tokens). A grep whose match requires
+  * terms t₁…tₙ first probes the sidecar — a scan of ~0.1-1% of the table's
+  * bytes, bloom column only — and reads exactly the files whose blooms
+  * might satisfy the match; a bloom never misses a stored token, so
+  * pruning is sound (false positives only cost an extra file scan, never a
+  * missed row).
+  *
+  * Build is a maintenance job (the Sphinx `indexer` analog, like Compact):
+  * one distributed pass over the data files NOT yet indexed — blooms are
+  * immutable per file because committed files are never rewritten in place
+  * (copy-on-write merge/compaction produce NEW names), so a rebuild after
+  * N ingest batches reuses every prior bloom and scans only the new files'
+  * text. Versions are published atomically under
+  * `_termindex/v-<snapshotId>` (tmp dir + rename, `_SUCCESS`-guarded);
+  * readers take the newest complete version and treat unindexed files as
+  * always-scan, so a stale index is merely less effective, never wrong —
+  * the same property that makes crash/concurrent-build races harmless
+  * (losers delete their tmp and walk away).
+  *
+  * Scale: the sidecar is O(#files) rows ≈ 800k at 100 TB / 128 MB files;
+  * with the default 2²³-bit blooms (1 MB, ~2% fpp at 1M distinct tokens)
+  * the index is ~0.8% of table size, the prune job reads only its bloom
+  * column, and the build shuffles per-file PARTIAL blooms (map-side
+  * combine in the typed aggregate), never row text.
+  */
+object TermIndex {
+
+  final case class BuildResult(
+      snapshotId: Long,
+      indexedFiles: Long,
+      freshFiles: Long,
+      reusedFiles: Long)
+
+  /** `keep` = the snapshot-isolated file list a matching grep must scan
+    * (probe survivors + files the index has no bloom for); `total` = the
+    * snapshot's committed file count. `keep` is derived from ONE manifest
+    * read, so callers must scan exactly this list, not re-resolve.
+    */
+  final case class Prune(keep: Seq[String], total: Int, firstCommitted: String)
+
+  private def indexRoot(routedPath: String): String = s"$routedPath/_termindex"
+  private def versionDir(routedPath: String, id: Long): String =
+    s"${indexRoot(routedPath)}/v-$id"
+
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Newest COMPLETE index version (has Spark's _SUCCESS marker). */
+  private def latestVersion(spark: SparkSession,
+                            routedPath: String): Option[Long] = {
+    val root = new org.apache.hadoop.fs.Path(indexRoot(routedPath))
+    val f = fs(spark, routedPath)
+    if (!f.exists(root)) return None
+    f.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v-"))
+      .flatMap(s => scala.util.Try(s.getPath.getName.stripPrefix("v-").toLong)
+        .toOption)
+      .filter(id => f.exists(new org.apache.hadoop.fs.Path(
+        s"${versionDir(routedPath, id)}/_SUCCESS")))
+      .sorted.lastOption
+  }
+
+  private def readVersion(spark: SparkSession, routedPath: String,
+                          id: Long): DataFrame =
+    spark.read.parquet(versionDir(routedPath, id))
+
+  /** Grep-compatible tokenization: `split(lower(text), "\\W+")` (Java \W =
+    * ASCII word complement), empties included — the aggregate skips them.
+    * MUST stay in lockstep with Grep.tokens / ProximityMatch or pruning
+    * turns unsound; GrepSpec pins the equivalence end-to-end.
+    */
+  private def tokensCol = split(lower(col("text")), "\\W+")
+
+  /** Build (or incrementally refresh) the index for the CURRENT committed
+    * snapshot of `outRoot`'s routed table. No-op returning the existing
+    * result when that snapshot is already indexed. Returns None when the
+    * table has no committed snapshot.
+    */
+  def build(spark: SparkSession, outRoot: String,
+            numBits: Int = 1 << 23, keepVersions: Int = 2): Option[BuildResult] = {
+    val routedPath = s"$outRoot/routed"
+    val snap = Manifest.latest(routedPath).getOrElse(return None)
+    val f = fs(spark, routedPath)
+    val target = versionDir(routedPath, snap.snapshotId)
+    if (f.exists(new org.apache.hadoop.fs.Path(s"$target/_SUCCESS")))
+      return Some(BuildResult(snap.snapshotId,
+        spark.read.parquet(target).count(), 0, 0))
+
+    val committed = snap.files
+    val prior = latestVersion(spark, routedPath)
+    // prior file names are driver-side metadata, same O(#files) order as
+    // the manifest itself
+    val priorFiles: Set[String] = prior.map(id =>
+      readVersion(spark, routedPath, id).select("file")
+        .collect().map(_.getString(0)).toSet).getOrElse(Set.empty)
+    val freshFiles = committed.filterNot(priorFiles)
+
+    // committed files live at tool_key=…/role=…/day=…/<name> — the
+    // manifest-relative path is exactly the URI's last four segments
+    val relFile = concat_ws("/", slice(split(input_file_name(), "/"), -4, 4))
+    val fresh =
+      if (freshFiles.isEmpty)
+        None
+      else Some(spark.read.option("basePath", routedPath)
+        .parquet(freshFiles.map(fl => s"$routedPath/$fl"): _*)
+        .select(relFile.as("file"), tokensCol.as("toks"))
+        .groupBy(col("file"))
+        .agg(TokenBloomAgg.token_bloom(col("toks"), numBits).as("bloom")))
+    val reused = prior.map(id =>
+      readVersion(spark, routedPath, id)
+        .join(spark.createDataset(committed)(
+          org.apache.spark.sql.Encoders.STRING).toDF("file"), Seq("file")))
+    val index = (fresh, reused) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => return Some(BuildResult(snap.snapshotId, 0, 0, 0))
+    }
+
+    val tmp = s"${indexRoot(routedPath)}/.build-${java.util.UUID.randomUUID()}"
+    // O(#files) rows — a handful of output files is plenty at any scale
+    index.coalesce(8).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val published = f.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(target))
+    if (!published) // another builder won the race — its version is as good
+      f.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    vacuum(spark, routedPath, keepVersions)
+    val reusedCount = (committed.size - freshFiles.size).toLong
+    Some(BuildResult(snap.snapshotId, committed.size.toLong,
+      freshFiles.size.toLong, reusedCount))
+  }
+
+  /** Delete index versions beyond the newest `keep` (concurrent readers of
+    * a just-superseded version get a grace window of one more build).
+    */
+  private def vacuum(spark: SparkSession, routedPath: String, keep: Int): Unit = {
+    val root = new org.apache.hadoop.fs.Path(indexRoot(routedPath))
+    val f = fs(spark, routedPath)
+    if (!f.exists(root)) return
+    val ids = f.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v-"))
+      .flatMap(s => scala.util.Try(s.getPath.getName.stripPrefix("v-").toLong)
+        .toOption).sorted
+    ids.dropRight(keep).foreach(id => f.delete(
+      new org.apache.hadoop.fs.Path(versionDir(routedPath, id)), true))
+  }
+
+  /** The files a grep needing >= `minMatch` of `tokens` (pre-lowered pure
+    * tokens) must scan, under the current committed snapshot. None when no
+    * manifest or no index exists (caller falls back to the full table).
+    * Sound by construction: a file is dropped ONLY when its bloom proves
+    * fewer than `minMatch` of the tokens ever occurred in it; files the
+    * index does not cover are always kept.
+    */
+  def pruneFiles(spark: SparkSession, routedPath: String,
+                 tokens: Seq[String], minMatch: Int): Option[Prune] = {
+    val snap = Manifest.latest(routedPath).getOrElse(return None)
+    if (snap.files.isEmpty) return None
+    val ver = latestVersion(spark, routedPath).getOrElse(return None)
+    // one tiny job over the sidecar: (file, survives-probe) pairs
+    val probed = readVersion(spark, routedPath, ver)
+      .select(col("file"),
+        (BloomTermsHit.bloom_terms_hit(col("bloom"), tokens) >= minMatch)
+          .as("keep"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    val keep = snap.files.filter(fl => probed.getOrElse(fl, true))
+    Some(Prune(keep, snap.files.size, snap.files.head))
+  }
+}

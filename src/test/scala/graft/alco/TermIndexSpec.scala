@@ -1,0 +1,108 @@
+package graft.alco
+
+import graft.SparkSpec
+import graft.functions.TokenBloom
+
+class TermIndexSpec extends SparkSpec {
+
+  private lazy val out = tmpDir("termindex")
+  private lazy val routedPath = {
+    Pipeline.run(spark, Gen.turns(spark, 10000L).toDF(), out, Pipeline.Config())
+    s"$out/routed"
+  }
+
+  private def rows(q: Grep.Query) =
+    Grep.query(spark, routedPath, q).collect()
+      .map(r => (r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx"))).toSet
+
+  // every query takes ALL its matches (limit far above corpus size), so
+  // tie-order differences can't leak into the set compare
+  private val queries = Seq(
+    Grep.Query(terms = Seq("retry", "latency"), mode = Grep.MatchAny, limit = 1000000),
+    Grep.Query(terms = Seq("retry", "merge"), mode = Grep.MatchAll, limit = 1000000),
+    Grep.Query(terms = Seq("retry", "logic"), mode = Grep.MatchPhrase, limit = 1000000),
+    Grep.Query(terms = Seq("retry", "latency", "merge"),
+      mode = Grep.MatchQuorum(2), limit = 1000000),
+    Grep.Query(terms = Seq("retry", "merge"),
+      mode = Grep.MatchProximity(6), limit = 1000000),
+    Grep.Query(terms = Seq("421"), mode = Grep.MatchAll,
+      notTerms = Seq("latency"), limit = 1000000),
+    Grep.Query(terms = Seq("421", "137"), mode = Grep.MatchAny,
+      filters = Map("role" -> Seq("user", "assistant")), limit = 1000000))
+
+  test("token bloom: no false negatives, bounded false positives") {
+    val bloom = new Array[Byte](8192 / 8)
+    val in = (0 until 200).map(i => s"tok$i")
+    in.foreach { t =>
+      val a = TokenBloom.h1(t); TokenBloom.set(bloom, a, TokenBloom.h2(a))
+    }
+    assert(in.forall(TokenBloom.mightContain(bloom, _)), "bloom missed a stored token")
+    val fp = (0 until 1000).count(i => TokenBloom.mightContain(bloom, s"absent$i"))
+    // m/n = 41 bits/token, k=6 → fpp well under 1%; allow generous slack
+    assert(fp < 50, s"false-positive rate too high: $fp/1000")
+  }
+
+  test("probe plan: mode semantics and the pure-token guard") {
+    def plan(q: Grep.Query) = Grep.probePlan(q)
+    assert(plan(Grep.Query()) == None)
+    assert(plan(Grep.Query(terms = Seq("A", "b", "a"), mode = Grep.MatchAny))
+      .contains((Seq("a", "b"), 1)))
+    assert(plan(Grep.Query(terms = Seq("a", "b"), mode = Grep.MatchAll))
+      .contains((Seq("a", "b"), 2)))
+    // phrase terms with separators probe their word-tokens
+    assert(plan(Grep.Query(terms = Seq("a.b", "c"), mode = Grep.MatchPhrase))
+      .contains((Seq("a", "b", "c"), 3)))
+    // non-pure terms make ALL/QUORUM/PROXIMITY unprunable (conservative)
+    assert(plan(Grep.Query(terms = Seq("a.b"), mode = Grep.MatchAll)) == None)
+    assert(plan(Grep.Query(terms = Seq("a.b", "c"), mode = Grep.MatchQuorum(1))) == None)
+    // ANY falls back to the pure subset
+    assert(plan(Grep.Query(terms = Seq("a.b", "c"), mode = Grep.MatchAny))
+      .contains((Seq("c"), 1)))
+    assert(plan(Grep.Query(terms = Seq("x", "y"), mode = Grep.MatchQuorum(5)))
+      .contains((Seq("x", "y"), 2)))
+  }
+
+  test("index build prunes rare-token greps without changing ANY result") {
+    val before = queries.map(rows)
+    val b = TermIndex.build(spark, out, numBits = 1 << 16).get
+    assert(b.freshFiles == b.indexedFiles && b.reusedFiles == 0)
+    // rare digit tokens live in a handful of the partition files
+    val pr = TermIndex.pruneFiles(spark, routedPath, Seq("421", "137"), 1).get
+    assert(pr.keep.size < pr.total,
+      s"expected pruning, kept ${pr.keep.size} of ${pr.total}")
+    // the scan itself shrinks, not just the driver-side list
+    val full = Grep.query(spark, routedPath,
+      Grep.Query(limit = 10)).inputFiles.length
+    val pruned = Grep.query(spark, routedPath, queries.last).inputFiles.length
+    assert(pruned < full, s"pruned scan reads $pruned of $full files")
+    assert(queries.map(rows) == before, "pruning changed a query result")
+  }
+
+  test("a match no file can satisfy returns empty with the schema intact") {
+    TermIndex.build(spark, out, numBits = 1 << 16)
+    val df = Grep.query(spark, routedPath,
+      Grep.Query(terms = Seq("zzzqqqneverseen"), mode = Grep.MatchAll, limit = 10))
+    assert(df.columns.contains("text") && df.count() == 0)
+  }
+
+  test("incremental rebuild reuses prior blooms; compaction degrades safely") {
+    TermIndex.build(spark, out, numBits = 1 << 16)
+    // second batch → new files; rebuild must scan ONLY those
+    Pipeline.run(spark, Gen.turns(spark, 3000L, seed = 9L).toDF(), out,
+      Pipeline.Config(), batchId = 1L)
+    val before = queries.map(rows)
+    val b2 = TermIndex.build(spark, out, numBits = 1 << 16).get
+    assert(b2.reusedFiles > 0 && b2.freshFiles > 0 &&
+      b2.freshFiles + b2.reusedFiles == b2.indexedFiles, s"got $b2")
+    assert(queries.map(rows) == before, "incremental index changed a result")
+    // compaction renames files: the stale index must only lose coverage
+    // (renamed files are always scanned), never rows
+    val r = Compact.compact(spark, out, minFiles = 2)
+    if (r.compactedPartitions.nonEmpty) {
+      assert(queries.map(rows) == before, "stale index after compaction changed a result")
+      val b3 = TermIndex.build(spark, out, numBits = 1 << 16).get
+      assert(b3.freshFiles > 0, "compacted files must re-index")
+      assert(queries.map(rows) == before, "post-compaction rebuild changed a result")
+    }
+  }
+}
