@@ -53,3 +53,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // thread count (it taxes the 4N leg of the scaling measurement).
   "-XX:+UseParallelGC",
 )
+// A/B knob for the GC-thread co-scheduling experiment (BASELINE.md r5):
+// ParallelGC sizes its worker pool from the 32 vCPUs (~23 threads), and a
+// stop-the-world pause needs them CO-SCHEDULED — on a steal-prone host
+// that stretches pauses superlinearly in exactly the 4N legs the scaling
+// gate measures. Unset = JVM default.
+javaOptions ++= sys.env.get("SPARK_GC_THREADS")
+  .map(n => s"-XX:ParallelGCThreads=$n").toSeq

@@ -142,7 +142,18 @@ object Grep {
         if (toks.isEmpty) None else Some((toks, toks.size))
       case MatchQuorum(k) =>
         if (!lowered.forall(pureToken)) None
-        else { val d = lowered.distinct; Some((d, math.min(k, d.size))) }
+        else {
+          // quorum counts each LISTED term, so duplicates let one distinct
+          // token contribute its multiplicity — the sound bound is the
+          // smallest number of distinct terms whose multiplicities can
+          // already reach k (greedy over descending multiplicity), not k
+          // itself (["a","a","b"]/2 is satisfied by "a" alone).
+          val d = lowered.distinct
+          val mults = lowered.groupBy(identity).values.map(_.size).toSeq
+            .sortBy(-_)
+          val need = mults.scanLeft(0)(_ + _).indexWhere(_ >= k)
+          Some((d, if (need < 0) d.size else need))
+        }
     }
   }
 
@@ -180,7 +191,10 @@ object Grep {
     val sel = sinks.map(s =>
         col("tool_key") === SinkKey.sanitize(s.tool) && col("role") === s.role)
       .reduce(_ || _)
-    ordered(table(spark, routedPath).filter(sel).filter(predicates(q)), q)
+    // bloom pruning composes with the sink selector: the pruned read keeps
+    // the partition columns (basePath), so Catalyst still prunes the
+    // selected sinks' directories out of the surviving file list
+    ordered(source(spark, routedPath, q).filter(sel).filter(predicates(q)), q)
   }
 
   /** Cross-table grep: union several routed tables by name (alco's
@@ -189,7 +203,9 @@ object Grep {
     */
   def queryTables(spark: SparkSession, routedPaths: Seq[String], q: Query): DataFrame = {
     require(routedPaths.nonEmpty, "at least one table")
-    val base = routedPaths.map(table(spark, _)).reduce(_ unionByName _)
+    // each shard prunes against its OWN term index (tables index and
+    // compact independently — an indexless shard just scans fully)
+    val base = routedPaths.map(source(spark, _, q)).reduce(_ unionByName _)
     ordered(base.filter(predicates(q)), q)
   }
 

@@ -23,6 +23,10 @@ class TermIndexSpec extends SparkSpec {
     Grep.Query(terms = Seq("retry", "logic"), mode = Grep.MatchPhrase, limit = 1000000),
     Grep.Query(terms = Seq("retry", "latency", "merge"),
       mode = Grep.MatchQuorum(2), limit = 1000000),
+    // duplicate-term quorum: satisfied by "retry" alone — a file holding
+    // retry-rows but no "latency" must NOT be pruned (multiplicity bound)
+    Grep.Query(terms = Seq("retry", "retry", "latency"),
+      mode = Grep.MatchQuorum(2), limit = 1000000),
     Grep.Query(terms = Seq("retry", "merge"),
       mode = Grep.MatchProximity(6), limit = 1000000),
     Grep.Query(terms = Seq("421"), mode = Grep.MatchAll,
@@ -60,6 +64,15 @@ class TermIndexSpec extends SparkSpec {
       .contains((Seq("c"), 1)))
     assert(plan(Grep.Query(terms = Seq("x", "y"), mode = Grep.MatchQuorum(5)))
       .contains((Seq("x", "y"), 2)))
+    // duplicate quorum terms: one distinct token carries its multiplicity,
+    // so ["a","a","b"]/2 is satisfied by "a" alone — minMatch must be 1
+    assert(plan(Grep.Query(terms = Seq("a", "a", "b"), mode = Grep.MatchQuorum(2)))
+      .contains((Seq("a", "b"), 1)))
+    assert(plan(Grep.Query(terms = Seq("a", "a", "b"), mode = Grep.MatchQuorum(3)))
+      .contains((Seq("a", "b"), 2)))
+    // k <= 0 degenerates to match-everything: minMatch 0 prunes nothing
+    assert(plan(Grep.Query(terms = Seq("a", "b"), mode = Grep.MatchQuorum(0)))
+      .contains((Seq("a", "b"), 0)))
   }
 
   test("index build prunes rare-token greps without changing ANY result") {
@@ -83,6 +96,28 @@ class TermIndexSpec extends SparkSpec {
     val df = Grep.query(spark, routedPath,
       Grep.Query(terms = Seq("zzzqqqneverseen"), mode = Grep.MatchAll, limit = 10))
     assert(df.columns.contains("text") && df.count() == 0)
+  }
+
+  test("pruning composes with sink selection and multi-table union") {
+    val out2 = tmpDir("termindex2")
+    Pipeline.run(spark, Gen.turns(spark, 3000L, seed = 5L).toDF(), out2,
+      Pipeline.Config())
+    val q = Grep.Query(terms = Seq("retry", "137"), mode = Grep.MatchAny,
+      limit = 1000000)
+    val sinks = Seq(SinkKey("bash", "tool"), SinkKey("", "user"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx"))
+    val sinksBefore = Grep.querySinks(spark, s"$out2/routed", sinks, q)
+      .collect().map(key).toSet
+    val unionBefore = Grep.queryTables(spark, Seq(routedPath, s"$out2/routed"), q)
+      .collect().map(key).toSet
+    TermIndex.build(spark, out2, numBits = 1 << 16)
+    assert(Grep.querySinks(spark, s"$out2/routed", sinks, q)
+      .collect().map(key).toSet == sinksBefore)
+    // shard 1 (routedPath) is indexed by earlier tests, shard 2 now too —
+    // each prunes independently inside the union
+    assert(Grep.queryTables(spark, Seq(routedPath, s"$out2/routed"), q)
+      .collect().map(key).toSet == unionBefore)
   }
 
   test("incremental rebuild reuses prior blooms; compaction degrades safely") {
