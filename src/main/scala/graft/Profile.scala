@@ -100,6 +100,31 @@ object Profile {
       cleanup(work); spark.stop(); return
     }
 
+    // PROFILE_MODE=grepindex: term-bloom index payoff at scale — ingest a
+    // routed table, time a rare-term grep unindexed vs indexed (3 reps
+    // each, interleave-free: the deltas of interest are 5-10× so window
+    // noise can't fake them), plus the index build cost and file counts.
+    if (sys.env.get("PROFILE_MODE").contains("grepindex")) {
+      val root = s"$work/alco"
+      timed("ingest")(Pipeline.run(spark, turns, root, batchId = 0L): Unit)
+      val rp = s"$root/routed"
+      val terms = sys.env.getOrElse("SPARK_GRAFT_GREP_TERMS", "421,137")
+        .split(",").toSeq
+      val q = Grep.Query(terms = terms, mode = Grep.MatchAny, limit = 1000000)
+      def scan(): (Long, Int) = {
+        val df = Grep.query(spark, rp, q)
+        (df.count(), df.inputFiles.length)
+      }
+      var res = (0L, 0)
+      (1 to 3).foreach(i => timed(s"grep_noindex_$i") { res = scan() })
+      println(s"PROFILE noindex rows=${res._1} files=${res._2}")
+      timed("index_build")(
+        TermIndex.build(spark, root, numBits = 1 << 20): Unit)
+      (1 to 3).foreach(i => timed(s"grep_indexed_$i") { res = scan() })
+      println(s"PROFILE indexed rows=${res._1} files=${res._2}")
+      cleanup(work); spark.stop(); return
+    }
+
     val skipPrefix = sys.env.get("SKIP_PREFIX").nonEmpty
     if (!skipPrefix) timed("read_only")(noop(turns))
     val classify = (d: DataFrame) => Parse.classify(d)
