@@ -94,8 +94,9 @@ object TermIndex {
     val f = fs(spark, routedPath)
     val target = versionDir(routedPath, snap.snapshotId)
     if (f.exists(new org.apache.hadoop.fs.Path(s"$target/_SUCCESS")))
-      return Some(BuildResult(snap.snapshotId,
-        spark.read.parquet(target).count(), 0, 0))
+      // indexed row count == the snapshot's committed file count — already
+      // driver-side; no Spark job on the no-op cron path
+      return Some(BuildResult(snap.snapshotId, snap.files.size.toLong, 0, 0))
 
     val committed = snap.files
     val prior = latestVersion(spark, routedPath)
@@ -106,17 +107,38 @@ object TermIndex {
         .collect().map(_.getString(0)).toSet).getOrElse(Set.empty)
     val freshFiles = committed.filterNot(priorFiles)
 
-    // committed files live at tool_key=…/role=…/day=…/<name> — the
-    // manifest-relative path is exactly the URI's last four segments
+    // committed files live at tool_key=…/role=…/day=…/<name>, so a scanned
+    // row's file is the URI's last four segments — but input_file_name()
+    // reports the PERCENT-ENCODED URI (Hadoop Path.toUri) while manifest
+    // names are raw FileStatus names. Join back to the raw name through a
+    // driver-built (encoded → raw) mapping that derives the encoded form
+    // from the SAME Path.toUri the scan does, so any partition value that
+    // URI-encodes (spaces, Spark's own %-escapes, unicode) maps exactly;
+    // a name-derivation regression shows up as a dropped join row, and the
+    // row-count invariant below turns that into a hard failure instead of
+    // silently-missing blooms.
+    def encLast4(fl: String): String =
+      new org.apache.hadoop.fs.Path(s"/$fl").toUri.getRawPath
+        .split("/").takeRight(4).mkString("/")
     val relFile = concat_ws("/", slice(split(input_file_name(), "/"), -4, 4))
     val fresh =
       if (freshFiles.isEmpty)
         None
-      else Some(spark.read.option("basePath", routedPath)
-        .parquet(freshFiles.map(fl => s"$routedPath/$fl"): _*)
-        .select(relFile.as("file"), tokensCol.as("toks"))
-        .groupBy(col("file"))
-        .agg(TokenBloomAgg.token_bloom(col("toks"), numBits).as("bloom")))
+      else {
+        val mapping = spark.createDataset(
+            freshFiles.map(fl => (encLast4(fl), fl)))(
+            org.apache.spark.sql.Encoders.tuple(
+              org.apache.spark.sql.Encoders.STRING,
+              org.apache.spark.sql.Encoders.STRING))
+          .toDF("enc", "file")
+        Some(spark.read.option("basePath", routedPath)
+          .parquet(freshFiles.map(fl => s"$routedPath/$fl"): _*)
+          .select(relFile.as("enc"), tokensCol.as("toks"))
+          .groupBy(col("enc"))
+          .agg(TokenBloomAgg.token_bloom(col("toks"), numBits).as("bloom"))
+          .join(broadcast(mapping), Seq("enc"))
+          .select(col("file"), col("bloom")))
+      }
     val reused = prior.map(id =>
       readVersion(spark, routedPath, id)
         .join(spark.createDataset(committed)(
@@ -130,11 +152,30 @@ object TermIndex {
 
     val tmp = s"${indexRoot(routedPath)}/.build-${java.util.UUID.randomUUID()}"
     // O(#files) rows — a handful of output files is plenty at any scale
-    index.coalesce(8).write.mode(SaveMode.Overwrite).parquet(tmp)
-    val published = f.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(target))
-    if (!published) // another builder won the race — its version is as good
-      f.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val written = index.coalesce(8).cache()
+    try {
+      written.write.mode(SaveMode.Overwrite).parquet(tmp)
+      // every committed file must have exactly one bloom row — a dropped
+      // mapping join row or a reuse-join miss fails LOUDLY before publish
+      val n = written.count()
+      if (n != committed.size) {
+        f.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        throw new IllegalStateException(
+          s"term index row count $n != committed file count ${committed.size}" +
+            " — aborting before publish")
+      }
+    } finally written.unpersist()
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val targetPath = new org.apache.hadoop.fs.Path(target)
+    // Hadoop rename(src, existingDir) MOVES src INSIDE the dir and returns
+    // true — so a lost race doesn't report false, it nests our staging in
+    // the winner's version dir. Pre-check, then sweep the nested dir if the
+    // race landed between the check and the rename; either way the winner's
+    // published version is valid and complete.
+    val published = !f.exists(targetPath) && f.rename(tmpPath, targetPath)
+    val nested = new org.apache.hadoop.fs.Path(targetPath, tmpPath.getName)
+    if (f.exists(nested)) f.delete(nested, true)
+    if (!published && f.exists(tmpPath)) f.delete(tmpPath, true)
     vacuum(spark, routedPath, keepVersions)
     val reusedCount = (committed.size - freshFiles.size).toLong
     Some(BuildResult(snap.snapshotId, committed.size.toLong,
@@ -142,18 +183,38 @@ object TermIndex {
   }
 
   /** Delete index versions beyond the newest `keep` (concurrent readers of
-    * a just-superseded version get a grace window of one more build).
+    * a just-superseded version get a grace window of one more build), and
+    * sweep `.build-*` staging dirs a crashed builder left behind. A LIVE
+    * concurrent build must never lose its staging (the Bench sweep lesson,
+    * ADVICE r4) — and the staging dir's own mtime is set at job start and
+    * never advances, so the quiet test walks the TREE for the newest mtime
+    * (in-flight tasks keep creating attempt files inside `_temporary`) and
+    * requires a full hour of silence. A build quiet for an hour yet still
+    * alive would have to write nothing at all in that hour — at that point
+    * it is indistinguishable from a crash and loses its (re-runnable)
+    * staging, never any published data.
     */
   private def vacuum(spark: SparkSession, routedPath: String, keep: Int): Unit = {
     val root = new org.apache.hadoop.fs.Path(indexRoot(routedPath))
     val f = fs(spark, routedPath)
     if (!f.exists(root)) return
-    val ids = f.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v-"))
+    val entries = f.listStatus(root).toSeq.filter(_.isDirectory)
+    val ids = entries.filter(_.getPath.getName.startsWith("v-"))
       .flatMap(s => scala.util.Try(s.getPath.getName.stripPrefix("v-").toLong)
         .toOption).sorted
     ids.dropRight(keep).foreach(id => f.delete(
       new org.apache.hadoop.fs.Path(versionDir(routedPath, id)), true))
+    def newestMtime(p: org.apache.hadoop.fs.Path): Long = {
+      val st = f.listStatus(p)
+      (st.map(_.getModificationTime) ++
+        st.filter(_.isDirectory).map(s => newestMtime(s.getPath))).foldLeft(
+        f.getFileStatus(p).getModificationTime)(math.max)
+    }
+    val cutoff = System.currentTimeMillis() - 60 * 60 * 1000
+    entries.filter(_.getPath.getName.startsWith(".build-"))
+      .filter(s => scala.util.Try(newestMtime(s.getPath)).toOption
+        .exists(_ < cutoff))
+      .foreach(s => scala.util.Try(f.delete(s.getPath, true)))
   }
 
   /** The files a grep needing >= `minMatch` of `tokens` (pre-lowered pure

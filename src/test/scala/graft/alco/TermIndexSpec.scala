@@ -2,6 +2,7 @@ package graft.alco
 
 import graft.SparkSpec
 import graft.functions.TokenBloom
+import org.apache.spark.sql.functions.{col, concat, lit, when}
 
 class TermIndexSpec extends SparkSpec {
 
@@ -98,6 +99,33 @@ class TermIndexSpec extends SparkSpec {
     assert(df.columns.contains("text") && df.count() == 0)
   }
 
+  test("vacuum sweeps stale crashed-build staging but never live staging") {
+    TermIndex.build(spark, out, numBits = 1 << 16)
+    val idxRoot = java.nio.file.Paths.get(s"$routedPath/_termindex")
+    val stale = idxRoot.resolve(".build-stale")
+    val live = idxRoot.resolve(".build-live")
+    // a long-running build's staging dir keeps its START mtime while tasks
+    // write INSIDE it — the quiet test must walk the tree, not trust the
+    // top-level dir (so `live` here is old at the top but fresh within)
+    java.nio.file.Files.createDirectories(stale.resolve("_temporary"))
+    java.nio.file.Files.createDirectories(live.resolve("_temporary"))
+    java.nio.file.Files.write(live.resolve("_temporary/attempt-1"),
+      Array[Byte](1))
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * 60 * 60 * 1000)
+    Seq(stale, stale.resolve("_temporary"), live).foreach(
+      java.nio.file.Files.setLastModifiedTime(_, old))
+    // trigger another build (already-indexed snapshot short-circuits before
+    // vacuum, so ingest a batch to advance the snapshot first)
+    Pipeline.run(spark, Gen.turns(spark, 1000L, seed = 11L).toDF(), out,
+      Pipeline.Config(), batchId = 7L)
+    TermIndex.build(spark, out, numBits = 1 << 16)
+    assert(!java.nio.file.Files.exists(stale), "tree-quiet staging must be swept")
+    assert(java.nio.file.Files.exists(live),
+      "staging with fresh writes inside must survive")
+    org.apache.commons.io.FileUtils.deleteDirectory(live.toFile)
+  }
+
   test("pruning composes with sink selection and multi-table union") {
     val out2 = tmpDir("termindex2")
     Pipeline.run(spark, Gen.turns(spark, 3000L, seed = 5L).toDF(), out2,
@@ -118,6 +146,43 @@ class TermIndexSpec extends SparkSpec {
     // each prunes independently inside the union
     assert(Grep.queryTables(spark, Seq(routedPath, s"$out2/routed"), q)
       .collect().map(key).toSet == unionBefore)
+  }
+
+  test("partition values that URI-encode still index, prune, and reuse") {
+    // input_file_name() reports percent-ENCODED URIs while manifest names
+    // are raw — a spacey tool value ("tool_key=my tool bash/...") is the
+    // regression: pre-fix, its blooms were stored under the encoded name,
+    // never matched the manifest (silent no-prune) and never survived the
+    // reuse join (every rebuild re-scanned it)
+    val out3 = tmpDir("termindex3")
+    val spacey = Gen.turns(spark, 2000L, seed = 3L).toDF()
+      .withColumn("tool", when(col("tool") =!= "",
+        concat(lit("my tool "), col("tool"))).otherwise(col("tool")))
+    Pipeline.run(spark, spacey, out3, Pipeline.Config())
+    val rp = s"$out3/routed"
+    assert(Manifest.latest(rp).get.files.exists(_.contains(" ")),
+      "fixture must actually produce a URI-encoding partition value")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx"))
+    val q = Grep.Query(terms = Seq("421", "137"), mode = Grep.MatchAny,
+      limit = 1000000)
+    val before = Grep.query(spark, rp, q).collect().map(key).toSet
+    // build's row-count invariant throws if any file's bloom row mismaps
+    val b = TermIndex.build(spark, out3, numBits = 1 << 16).get
+    assert(b.freshFiles == b.indexedFiles && b.indexedFiles > 0)
+    assert(Grep.query(spark, rp, q).collect().map(key).toSet == before)
+    // rebuild after a new batch must REUSE every surviving file's bloom —
+    // survivors = first-snapshot files the batch-1 REPLACE merge did NOT
+    // rewrite (overlapping partitions get copy-on-write fresh names)
+    val firstFiles = Manifest.latest(rp).get.files.toSet
+    Pipeline.run(spark, Gen.turns(spark, 500L, seed = 4L).toDF(), out3,
+      Pipeline.Config(), batchId = 1L)
+    val survivors = firstFiles.intersect(Manifest.latest(rp).get.files.toSet)
+    assert(survivors.exists(_.contains(" ")),
+      "at least one surviving file must carry the spacey partition")
+    val b2 = TermIndex.build(spark, out3, numBits = 1 << 16).get
+    assert(b2.reusedFiles == survivors.size,
+      s"every survivor (spacey included) must be reused: $b2 vs ${survivors.size}")
   }
 
   test("incremental rebuild reuses prior blooms; compaction degrades safely") {
