@@ -729,7 +729,52 @@ object SparkEntry {
           Grep.Query(terms = terms, mode = Grep.MatchAny, limit = 1000))
         .select(col("conv_id"), col("turn_idx"), col("text"),
           unix_timestamp(col("ts")).as("epoch_s"))
-    })
+    }),
+
+    // ── multimodal decode bridge: the stub decoder is DETERMINISTIC
+    // (FNV-1a over the payload bytes, slot j of a 16-dim vector touched by
+    // exactly byte j of the 16-byte md5 payload), so each feature value is
+    // (signedFnvPrefix(j) % 1000)/1000f — an integer/1000, recovered
+    // exactly by round(f*1000). The oracle replays the byte-level FNV in a
+    // recursive CTE over the same md5 payloads, turning the q37 rows-only
+    // check into a per-row hash equality on the full decode plumbing
+    // (mapPartitions batch shape, corrupt-row quarantine, slot indexing).
+    // q37 stays the aggregate real-shape query. ──
+    "q82_media_features_bridge" -> ((s, dir) => {
+      val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 500))
+      feats.toDF()
+        .select(col("media_id"), col("kind"), col("ok"), col("n_bytes"),
+          posexplode_outer(col("features")))
+        // corrupt rows surface once with sentinel idx/q (NULLs would make
+        // the driver's sorted-tuple hash compare type-unstable)
+        .select(col("media_id"), col("kind"), col("ok"), col("n_bytes"),
+          coalesce(col("pos"), lit(-1)).as("idx"),
+          coalesce(round(col("col").cast("double") * 1000).cast("int"),
+            lit(0)).as("q"))
+    }),
+
+    // ── multimodal resize bridge: resizeStub output at 128×64 is
+    // max(1, 128*64/256) = 32 bytes = out(i)=payload(i%16) — the 16-byte
+    // md5 payload repeated twice, null for the corrupt (id%17=0) rows.
+    // SQL-expressible verbatim, so the oracle hash-checks the one-pass
+    // all-columns mapPartitions rewrite (dims updated in place, corrupt
+    // passthrough, column order preserved) that PlanSpec only shape-checks.
+    // q48 stays the aggregate real-shape query. ──
+    "q83_media_resize_bridge" -> ((s, dir) =>
+      Multimodal.resize(Multimodal.syntheticMedia(s, 500), 128, 64)
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          col("duration_ms"), hex(col("payload")).as("payload_hex"))),
+
+    // ── epoch-weighted mixture resampling (the UPsampling half of the
+    // data-mix recipe — 2.3 epochs of one source, half an epoch of
+    // another): floor(e) deterministic copies per row + one more iff the
+    // md5 micro-bucket falls under frac(e). Pure generator projection,
+    // corpus never shuffles; the oracle replays copies via range(). ──
+    "q84_mixture_resample" -> ((s, dir) =>
+      Sampling.mixtureResample(t(s, dir, "documents"), "doc_id", "source",
+        Map("src1" -> 2.3, "src2" -> 0.5, "src3" -> 1.0),
+        defaultEpochs = 0.25)
+        .select(col("doc_id"), col("source"), col("copy")))
   )
 
   /** Fresh fixed temp root for the queries that materialize a routed table
@@ -900,6 +945,41 @@ object SparkEntry {
     // the query's 1000 limit, so ordering/pagination don't bind)
     "q81_grep_term_index" ->
       s"""SELECT conv_id, turn_idx, text, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM $trTable WHERE $duckOk AND regexp_matches(lower(text), '\\b(421|137)\\b')""",
+    // q82: byte-level FNV-1a replay of the deterministic decode stub — the
+    // recursive CTE walks the 16 md5 payload bytes (hex-pair -> value via
+    // strpos), keeps the running 64-bit hash in HUGEINT with explicit
+    // mod-2^64 wraparound, reinterprets as signed two's-complement, and
+    // emits slot j's quantized value (signed h_j % 1000). Corrupt rows
+    // (id%17=0 -> NULL payload) surface as ok=false with NULL idx/q,
+    // mirroring posexplode_outer on the empty feature array.
+    "q82_media_features_bridge" ->
+      ("WITH m AS (SELECT id AS media_id, (['image','audio','video'])[CAST(id % 3 AS INT) + 1] AS kind, " +
+        "CASE WHEN id % 17 = 0 THEN NULL ELSE md5(CAST(id AS VARCHAR)) END AS ph FROM range(500) t(id)), " +
+        "rec AS (WITH RECURSIVE r(media_id, i, h) AS (" +
+        "SELECT media_id, 0, CAST('14695981039346656037' AS HUGEINT) FROM m WHERE ph IS NOT NULL " +
+        "UNION ALL SELECT r.media_id, r.i + 1, " +
+        "(xor(r.h, CAST((strpos('0123456789abcdef', substr(m.ph, 2*r.i+1, 1)) - 1) * 16 + " +
+        "(strpos('0123456789abcdef', substr(m.ph, 2*r.i+2, 1)) - 1) AS HUGEINT)) * 1099511628211) " +
+        "% CAST('18446744073709551616' AS HUGEINT) " +
+        "FROM r JOIN m USING (media_id) WHERE r.i < 16) " +
+        "SELECT media_id, i - 1 AS idx, CAST((CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT) " +
+        "THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END) % 1000 AS INT) AS q FROM r WHERE i > 0) " +
+        "SELECT m.media_id, m.kind, TRUE AS ok, 16 AS n_bytes, rec.idx, rec.q FROM m JOIN rec USING (media_id) " +
+        "UNION ALL SELECT media_id, kind, FALSE AS ok, 0 AS n_bytes, -1 AS idx, 0 AS q FROM m WHERE ph IS NULL"),
+    // q83: resizeStub at 128x64 emits 32 bytes = the 16-byte md5 payload
+    // repeated twice (out(i)=payload(i%16)); corrupt rows pass through with
+    // NULL payload and updated dims. Spark hex() is uppercase.
+    "q83_media_resize_bridge" ->
+      ("SELECT id AS media_id, (['image','audio','video'])[CAST(id % 3 AS INT) + 1] AS kind, " +
+        "128 AS width, 64 AS height, id * 40 AS duration_ms, " +
+        "CASE WHEN id % 17 = 0 THEN NULL ELSE upper(md5(CAST(id AS VARCHAR)) || md5(CAST(id AS VARCHAR))) END AS payload_hex " +
+        "FROM range(500) t(id)"),
+    // q84: per-domain micro-weights (epochs × 1e6) mirror the Scala map;
+    // copies = whole epochs + (md5 micro-bucket < fractional part)
+    "q84_mixture_resample" ->
+      ("WITH w AS (SELECT doc_id, source, CASE source WHEN 'src1' THEN 2300000 WHEN 'src2' THEN 500000 WHEN 'src3' THEN 1000000 ELSE 250000 END AS micro, " +
+        "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS b FROM documents) " +
+        "SELECT doc_id, source, unnest(range(micro // 1000000 + CASE WHEN b < micro % 1000000 THEN 1 ELSE 0 END)) AS copy FROM w"),
     "q26_langid" ->
       """WITH c AS (SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|in|that|it|for|was)\b')) AS BIGINT) AS sw_en, CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|de|un|une|que|pour)\b')) AS BIGINT) AS sw_fr, CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|von|ein|eine|zu|mit)\b')) AS BIGINT) AS sw_de, CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|de|un|una|que|por)\b')) AS BIGINT) AS sw_es FROM documents) SELECT doc_id, sw_en, sw_fr, sw_de, sw_es, CASE WHEN greatest(sw_en, sw_fr, sw_de, sw_es) = 0 THEN 'und' WHEN sw_en = greatest(sw_en, sw_fr, sw_de, sw_es) THEN 'en' WHEN sw_fr = greatest(sw_en, sw_fr, sw_de, sw_es) THEN 'fr' WHEN sw_de = greatest(sw_en, sw_fr, sw_de, sw_es) THEN 'de' WHEN sw_es = greatest(sw_en, sw_fr, sw_de, sw_es) THEN 'es' ELSE 'und' END AS lang_guess FROM c""",
     "q27_quality" ->

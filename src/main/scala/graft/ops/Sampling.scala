@@ -97,4 +97,41 @@ object Sampling {
         round(col("__rate") * 1e6).cast("long"))
       .drop("__rate")
   }
+
+  /** Epoch-weighted mixture resampling — the missing UPsampling half of
+    * the mixing recipe (`temperatureResample` can only thin a domain;
+    * real data-mix specs say "2.3 epochs of wiki, 0.5 of web"). Each row
+    * of domain d with weight e_d is emitted floor(e_d) times plus one
+    * more iff its md5 micro-bucket falls below frac(e_d) — so a domain's
+    * expected output is exactly e_d × its rows, deterministically (pure
+    * row function: partition/retry/growth-stable, bit-identical across
+    * engines). Emitted copies carry a `copy` index (0-based) so downstream
+    * packing/shuffling can decorrelate repeats (e.g. salt the training
+    * order with it); dedup ops must run BEFORE this, not after.
+    *
+    * Scale shape: one broadcast of the tiny (domain → weight) table and
+    * one generator projection (`explode(sequence(...))`) — the corpus
+    * never shuffles, and output size is Σ e_d·n_d by construction.
+    * Weights are pre-rounded to 6 dp so a ULP cannot flip a copy count.
+    * Domains absent from `epochs` default to weight 0 (dropped), keeping
+    * the spec explicit about what enters the mix.
+    */
+  def mixtureResample(df: DataFrame, keyCol: String, domainCol: String,
+      epochs: Map[String, Double], defaultEpochs: Double = 0.0): DataFrame = {
+    require((defaultEpochs +: epochs.values.toSeq).forall(e => e >= 0.0),
+      "epoch weights must be >= 0")
+    val micro = epochs.foldLeft(when(lit(false), lit(0L))) {
+      case (acc, (d, e)) =>
+        acc.when(col(domainCol) === d, lit(math.round(e * 1e6)))
+    }.otherwise(lit(math.round(defaultEpochs * 1e6)))
+    val whole = (micro / 1000000L).cast("long")
+    val extra = when(
+      hashBucket(col(keyCol), 1000000) < pmod(micro, lit(1000000L)), 1L)
+      .otherwise(0L)
+    df.withColumn("__copies", whole + extra)
+      .filter(col("__copies") > 0)
+      .withColumn("copy",
+        explode(sequence(lit(0), (col("__copies") - 1L).cast("int"))))
+      .drop("__copies")
+  }
 }

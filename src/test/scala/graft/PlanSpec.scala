@@ -166,6 +166,12 @@ class PlanSpec extends SparkSpec {
     val p56 = plan(SparkEntry.queries("q56_chunking")(spark, dir))
     assert(!p56.contains("Exchange") && p56.contains("Generate"),
       s"q56 must be scan→project→generate with no shuffle:\n$p56")
+    // mixture resampling inflates rows by design (epoch copies) but the
+    // weight map is a literal CASE — no join, and the corpus never moves
+    val p84 = plan(SparkEntry.queries("q84_mixture_resample")(spark, dir))
+    assert(!p84.contains("Exchange") && !p84.contains("Join") &&
+      p84.contains("Generate"),
+      s"q84 must be scan→filter→generate with no shuffle and no join:\n$p84")
   }
 
   test("q58 line dedup explodes once, joins on equi-keys, never windows") {

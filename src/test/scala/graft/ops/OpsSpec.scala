@@ -539,6 +539,34 @@ class OpsSpec extends SparkSpec {
     assert(kept.filter($"domain".isNull).count() == 0L)
   }
 
+  test("mixture resample: whole epochs exact, fractional mass, drop, determinism") {
+    val df = (0 until 3000).map(i =>
+      (i.toLong, Seq("a", "b", "c")(i % 3))).toDF("id", "domain")
+    val out = Sampling.mixtureResample(df, "id", "domain",
+      Map("a" -> 2.0, "b" -> 1.4), defaultEpochs = 0.0).cache()
+    val byDom = out.groupBy($"domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // whole weights are EXACT, not statistical: 2 copies of every a row
+    assert(byDom("a") == 2000L, s"a=${byDom("a")}")
+    assert(out.filter($"domain" === "a").groupBy($"id").count()
+      .filter($"count" =!= 2).count() == 0L)
+    // fractional weight: every b row >= 1 copy, total ~ 1.4 * 1000
+    assert(out.filter($"domain" === "b").select($"id").distinct()
+      .count() == 1000L)
+    assert(math.abs(byDom("b") - 1400L) < 80, s"b=${byDom("b")}")
+    assert(!byDom.contains("c")) // default weight 0 drops the domain
+    // copy index is dense 0..copies-1 per row (packing salt contract)
+    assert(out.filter($"domain" === "a" && !$"copy".isin(0, 1)).count() == 0L)
+    // pure row function: repartitioning preserves the (id, copy) multiset
+    val again = Sampling.mixtureResample(df.repartition(17), "id", "domain",
+      Map("a" -> 2.0, "b" -> 1.4), defaultEpochs = 0.0)
+      .select($"id", $"copy").collect().map(r => (r.getLong(0), r.getInt(1)))
+      .toSet
+    assert(again == out.select($"id", $"copy").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet)
+    out.unpersist()
+  }
+
   test("chunking: coverage, overlap, clamped tail, short and empty docs") {
     val df = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 words
