@@ -774,7 +774,50 @@ object SparkEntry {
       Sampling.mixtureResample(t(s, dir, "documents"), "doc_id", "source",
         Map("src1" -> 2.3, "src2" -> 0.5, "src3" -> 1.0),
         defaultEpochs = 0.25)
-        .select(col("doc_id"), col("source"), col("copy")))
+        .select(col("doc_id"), col("source"), col("copy"))),
+
+    // ── O31/O33 under the driver gate: the Structured-Streaming rollup
+    // driven to completion (AvailableNow over a 12-file input =>
+    // several micro-batches through the watermark agg + the versioned
+    // COW upsert sink), then the FINAL committed rollup version is the
+    // result. horizon=365d makes the watermark un-droppable for this
+    // input, so the stream must equal the batch rollup EXACTLY — the
+    // update-mode incremental counts, checkpoint commits, version
+    // publish/vacuum and null-safe upsert join all sit on the hash
+    // path (previously StreamingSpec-only). Same input rows as q33, so
+    // the oracle is q33's SQL over the dumped transcripts table. ──
+    "q85_stream_rollup" -> ((s, dir) => {
+      val root = fixtureRoot("q85")
+      Gen.turns(s, 20000L).toDF().repartition(12)
+        .write.parquet(s"$root/in")
+      graft.streaming.StreamPipeline.rollupQuery(s, s"$root/in",
+        s"$root/rollup", s"$root/ckpt", horizon = "365 days")
+        .awaitTermination()
+      graft.streaming.StreamPipeline.readRollup(s, s"$root/rollup").get
+        .select(col("tool"), col("role"),
+          date_format(col("window_start"), "yyyy-MM-dd").as("day"), col("n"))
+    }),
+
+    // ── O1/O4/O31/O35 under the driver gate: the streaming fan-out route
+    // driven to completion — foreachBatch replays the FULL batch pipeline
+    // per micro-batch (12 input files / maxFilesPerTrigger=4 ⇒ 3 batches
+    // through classify → REPLACE dedup → enrich → partitioned write →
+    // manifest CAS commit), so multi-batch ingest, cross-batch manifest
+    // chaining and the exactly-once writerId path all sit on the hash
+    // gate. The committed routed table must equal the classify-ok input
+    // EXACTLY (q74's oracle): micro-batching must neither lose, duplicate,
+    // nor re-key a single row. ──
+    "q86_stream_route" -> ((s, dir) => {
+      val root = fixtureRoot("q86")
+      Gen.turns(s, 20000L).toDF().repartition(12)
+        .write.parquet(s"$root/in")
+      graft.streaming.StreamPipeline.routeQuery(s, s"$root/in", root,
+        s"$root/ckpt").awaitTermination()
+      Manifest.readCommitted(s, s"$root/routed").get
+        .select(col("conv_id"), col("turn_idx"), col("tool"), col("role"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("text"),
+          unix_timestamp(col("ts")).as("epoch_s"))
+    })
   )
 
   /** Fresh fixed temp root for the queries that materialize a routed table
@@ -974,6 +1017,12 @@ object SparkEntry {
         "128 AS width, 64 AS height, id * 40 AS duration_ms, " +
         "CASE WHEN id % 17 = 0 THEN NULL ELSE upper(md5(CAST(id AS VARCHAR)) || md5(CAST(id AS VARCHAR))) END AS payload_hex " +
         "FROM range(500) t(id)"),
+    // q85: the driven-to-completion stream with an un-droppable watermark
+    // must reproduce the batch rollup exactly — q33's counts WITHOUT the
+    // REPLACE dedup (rollupQuery aggregates classify-ok rows directly, and
+    // the generated input has no (conv_id, turn_idx) duplicates anyway)
+    "q85_stream_rollup" ->
+      s"""WITH ok AS (SELECT tool, role, ts FROM $trTable WHERE $duckOk) SELECT tool, role, ${duckDay("ts")} AS day, count(*) AS n FROM ok GROUP BY 1, 2, 3""",
     // q84: per-domain micro-weights (epochs × 1e6) mirror the Scala map;
     // copies = whole epochs + (md5 micro-bucket < fractional part)
     "q84_mixture_resample" ->
@@ -1101,6 +1150,11 @@ object SparkEntry {
     // leave EXACTLY the classify-ok input rows (REPLACE keeps one copy of
     // each redelivered key; compaction moves bytes, never rows)
     "q74_compact_cycle" ->
+      s"""SELECT conv_id, turn_idx, tool, role, ${duckDay("ts")} AS day, text, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM $trTable WHERE $duckOk""",
+    // q86: the streaming fan-out must commit EXACTLY the classify-ok input
+    // (q74's invariant, reached through AvailableNow micro-batches instead
+    // of explicit batch ids)
+    "q86_stream_route" ->
       s"""SELECT conv_id, turn_idx, tool, role, ${duckDay("ts")} AS day, text, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM $trTable WHERE $duckOk""",
     // q75: the fused grep page — same classify gate, q36's token-match
     // regex, the attribute + ts-range filters, and the EXACT order keys
