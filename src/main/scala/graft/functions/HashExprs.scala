@@ -257,6 +257,8 @@ object GraftFunctions {
     ColumnBridge.column(MinHashSlots(ColumnBridge.expression(hashes), k))
   def proximity_match(text: Column, terms: Seq[String], span: Int): Column =
     ColumnBridge.column(ProximityMatch(ColumnBridge.expression(text), terms, span))
+  def text_profile(text: Column): Column =
+    ColumnBridge.column(TextProfile(ColumnBridge.expression(text)))
 
   /** Register simhash64 / rolling_hash64 for spark.sql(...) use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

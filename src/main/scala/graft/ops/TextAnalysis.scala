@@ -36,11 +36,26 @@ object TextAnalysis {
     }.otherwise(lit("und"))
   }
 
+  /** Single-pass variant (the shipped shape): sw_* counts come from one
+    * `TextProfile` struct evaluation instead of one regex scan per language;
+    * the argmax when-chain is identical to [[langId]]. Equivalence with the
+    * regex formulation is property-tested in OpsSpec and pinned by the
+    * q26/q61 oracles.
+    */
   def withLangId(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val withCounts = stopwordPatterns.foldLeft(df) { case (d, (l, p)) =>
-      d.withColumn(s"sw_$l", hits(col(textCol), p))
+    val tp = col("__tp_lang")
+    val swCols = stopwordPatterns.map { case (l, _) => s"sw_$l" }
+    val withCounts = stopwordPatterns.foldLeft(
+      df.withColumn("__tp_lang", GraftFunctions.text_profile(col(textCol)))) {
+      case (d, (l, _)) => d.withColumn(s"sw_$l", tp(s"sw_$l"))
     }
-    withCounts.withColumn("lang_guess", langId(col(textCol)))
+    val best = swCols.map(col).reduce((a, b) => greatest(a, b))
+    withCounts
+      .withColumn("lang_guess",
+        stopwordPatterns.foldLeft(when(best === 0, lit("und"))) {
+          case (acc, (l, _)) => acc.when(col(s"sw_$l") === best, lit(l))
+        }.otherwise(lit("und")))
+      .drop("__tp_lang")
   }
 
   /** Quality signals: length, token count, mean word length, punctuation /
@@ -50,12 +65,18 @@ object TextAnalysis {
     */
   def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
+    val tp = col("__tp_q")
     val nChars = length(t)
-    val nTokens = size(regexp_extract_all(t, lit("""\S+"""), lit(0)))
-    val nWords = size(regexp_extract_all(lower(t), lit("""[a-z]+"""), lit(0)))
-    val nPunct = size(regexp_extract_all(t, lit("""[^\w\s]"""), lit(0)))
-    val nStop = hits(t, stopwordPatterns.head._2)
-    df.withColumn("n_chars_m", nChars)
+    // every regex-derived count rides ONE TextProfile scan (semantics
+    // contract in functions/TextProfile.scala); the arithmetic below is
+    // unchanged fixed-order double math, so the DuckDB oracle still
+    // reproduces it bit-for-bit
+    val nTokens = tp("n_tokens")
+    val nWords = tp("n_words")
+    val nPunct = tp("n_punct")
+    val nStop = tp(s"sw_${stopwordPatterns.head._1}")
+    df.withColumn("__tp_q", GraftFunctions.text_profile(t))
+      .withColumn("n_chars_m", nChars)
       .withColumn("n_tokens", nTokens)
       .withColumn("n_words", nWords)
       .withColumn("n_punct", nPunct)
@@ -66,8 +87,7 @@ object TextAnalysis {
         when(nWords === 0, lit(0.0)).otherwise(nStop.cast("double") / nWords))
       .withColumn("mean_word_len",
         when(nWords === 0, lit(0.0))
-          .otherwise(length(regexp_replace(lower(t), lit("""[^a-z]"""), lit("")))
-            .cast("double") / nWords))
+          .otherwise(tp("n_alpha").cast("double") / nWords))
       .withColumn("quality_score",
         round(least(lit(1.0), nWords.cast("double") / 20.0) * 0.5 +
           when(nWords === 0, lit(0.0))
@@ -75,6 +95,7 @@ object TextAnalysis {
           when(nChars === 0, lit(0.0))
             .otherwise(lit(1.0) - least(lit(1.0), nPunct.cast("double") / nChars * 10.0)) * 0.2,
           6))
+      .drop("__tp_q")
   }
 
   /** Token counts: whitespace tokens plus a BPE-ish segmentation (letter

@@ -366,6 +366,53 @@ class OpsSpec extends SparkSpec {
     assert(again == first)
   }
 
+  test("TextProfile single-pass counts ≡ the regex formulation, char by char") {
+    // the OLD expression pile (what TextProfile replaced) rebuilt verbatim
+    def hits(c: org.apache.spark.sql.Column, pat: String) =
+      regexp_count(lower(c), lit(pat))
+    val t = col("text")
+    val regexSide = Seq(
+      size(regexp_extract_all(t, lit("""\S+"""), lit(0))).as("n_tokens"),
+      size(regexp_extract_all(lower(t), lit("""[a-z]+"""), lit(0))).as("n_words"),
+      size(regexp_extract_all(t, lit("""[^\w\s]"""), lit(0))).as("n_punct"),
+      length(regexp_replace(lower(t), lit("""[^a-z]"""), lit(""))).as("n_alpha")) ++
+      TextAnalysis.stopwordPatterns.map { case (l, p) =>
+        hits(t, p).as(s"sw_$l")
+      }
+    // adversarial fixtures: boundary-adjacent digits/underscores (\b does
+    // NOT fire inside a word-char run), stopword prefixes/suffixes, words
+    // shared across languages, unicode (non-ASCII is \b-boundary AND
+    // [^\w\s]), every ASCII whitespace, empty/blank, mixed case
+    val planted = Seq(
+      "", " ", "\t\n\f\r", "the", "the the the", "the9 9the _the the_",
+      "les lest le-la de,la;un:une", "the-and.is!of?to", "thé café 漢字",
+      "The AND iS oF", "a_b c9d __ 99", "de de de", "pour pours spour",
+      "von!ist?und.der", "el la los las es de un una que por",
+      "w1 w2 w3 ... !!! ???", "x" * 300, ("the " * 50).trim,
+      "tab\tsep\nnewlinevtab\fformfeed\rcarriage")
+    val rng = new scala.util.Random(42)
+    val alphabet = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ" +
+      "0123456789_ \t\n\f\r.,;:!?-@#é漢 "
+    val fuzz = (0 until 300).map(_ =>
+      (0 until rng.nextInt(80)).map(_ =>
+        alphabet(rng.nextInt(alphabet.length))).mkString)
+    val df = (planted ++ fuzz).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+    val tp = GraftFunctions.text_profile(t).as("p")
+    val fields = Seq("n_tokens", "n_words", "n_punct", "n_alpha") ++
+      TextAnalysis.stopwordPatterns.map("sw_" + _._1)
+    val slow = df.select(col("doc_id") +: regexSide: _*)
+    val fast2 = df.withColumn("p", tp)
+      .select(col("doc_id") +: fields.map(f => col("p")(f).as(f)): _*)
+    assert(fast2.except(slow).isEmpty && slow.except(fast2).isEmpty,
+      "TextProfile diverged from the regex formulation")
+    // null text → null counts on both sides
+    val nulled = Seq((1L, null: String)).toDF("doc_id", "text")
+    val fr = nulled.withColumn("p", tp).select(col("p")("n_tokens")).collect()(0)
+    val sr = nulled.select(regexSide.head).collect()(0)
+    assert(fr.isNullAt(0) == sr.isNullAt(0))
+  }
+
   test("language id picks the language with most stopword hits") {
     val df = Seq(
       (1L, "the cat and the dog is in the house"),
