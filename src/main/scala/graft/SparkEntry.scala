@@ -56,18 +56,22 @@ object SparkEntry {
         .filter(col("event_type").isin("click", "error") && col("value") > 50.0)
         .select(col("event_id"), col("event_type"), col("value"))),
 
-    // ── O14: full-text token match, OR semantics ──
+    // ── O14: full-text token match, OR semantics. ONE codegen'd byte scan
+    // (TermsMatch, r6) — the arrays_overlap(tokens(text), …) formulation
+    // materialized the full token array per row; same row set (tokens are
+    // the \w+ runs either way), q05 oracle unchanged ──
     "q05_match_any" -> ((s, dir) =>
       t(s, dir, "documents")
-        .filter(arrays_overlap(TextOps.tokens(col("text")),
-          array(lit("spark"), lit("vector"))))
+        .filter(graft.functions.GraftFunctions.terms_match(col("text"),
+          Seq("spark", "vector"), 1))
         .select(col("doc_id"))),
 
-    // ── O14: full-text token match, AND semantics ──
+    // ── O14: full-text token match, AND semantics — one byte scan for both
+    // terms (was: two array_contains over two tokenizations, r6) ──
     "q06_match_all" -> ((s, dir) =>
       t(s, dir, "documents")
-        .filter(array_contains(TextOps.tokens(col("text")), "table") &&
-          array_contains(TextOps.tokens(col("text")), "query"))
+        .filter(graft.functions.GraftFunctions.terms_match(col("text"),
+          Seq("table", "query"), 2))
         .select(col("doc_id"))),
 
     // ── O16: broadcast-hash-join enrich (fact × small dims) ──

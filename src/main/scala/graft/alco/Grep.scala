@@ -43,18 +43,24 @@ object Grep {
       // never hides the sort keys from the plan).
       roles: Option[Seq[ColumnRole]] = None)
 
-  private def tokens(c: Column): Column = split(lower(c), "\\W+")
-
-  /** Token-containment predicate over `text` (O14). */
+  /** Token-containment predicate over `text` (O14). ANY/ALL/QUORUM compile
+    * to ONE codegen'd byte scan regardless of term count
+    * (graft.functions.TermsMatch, r6: the previous per-term
+    * `array_contains(split(lower(text), "\\W+"), t)` chain re-tokenized
+    * the text once per term — filter predicates get no subexpression
+    * elimination, so a 5-term AND match scanned the text 5×; TermsMatch
+    * reproduces that formulation's containment semantics exactly,
+    * ExprSpec-fuzzed and oracle-pinned by q05/q06/q36/q41/q44/q75/q81).
+    */
   def matchPredicate(terms: Seq[String], mode: MatchMode): Column = {
     if (terms.isEmpty) return lit(true)
     val lowered = terms.map(_.toLowerCase)
     mode match {
       case MatchAny =>
-        arrays_overlap(tokens(col("text")), array(lowered.map(lit): _*))
+        graft.functions.GraftFunctions.terms_match(col("text"), lowered, 1)
       case MatchAll =>
-        lowered.map(t => array_contains(tokens(col("text")), t))
-          .reduce(_ && _)
+        graft.functions.GraftFunctions.terms_match(col("text"), lowered,
+          lowered.length)
       case MatchPhrase =>
         // Sphinx "phrase": the terms occur as consecutive TOKENS, not as a
         // raw substring — "retry logic" must not match "retry logical…".
@@ -63,9 +69,7 @@ object Grep {
           .mkString("\\b", "\\W+", "\\b")
         lower(col("text")).rlike(pat)
       case MatchQuorum(k) =>
-        // codegen'd: one array_contains per term, summed
-        lowered.map(t => when(array_contains(tokens(col("text")), t), 1)
-          .otherwise(0)).reduce(_ + _) >= k
+        graft.functions.GraftFunctions.terms_match(col("text"), lowered, k)
       case MatchProximity(span) =>
         // ∃ window of `span` consecutive tokens containing every term —
         // a codegen'd single-pass byte scan (graft.functions.ProximityMatch;

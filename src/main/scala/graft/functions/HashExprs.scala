@@ -257,6 +257,8 @@ object GraftFunctions {
     ColumnBridge.column(MinHashSlots(ColumnBridge.expression(hashes), k))
   def proximity_match(text: Column, terms: Seq[String], span: Int): Column =
     ColumnBridge.column(ProximityMatch(ColumnBridge.expression(text), terms, span))
+  def terms_match(text: Column, terms: Seq[String], minHits: Int): Column =
+    ColumnBridge.column(TermsMatch(ColumnBridge.expression(text), terms, minHits))
   def text_profile(text: Column): Column =
     ColumnBridge.column(TextProfile(ColumnBridge.expression(text)))
 

@@ -48,10 +48,18 @@ case class KeyedRollup(
   override def createAggregationBuffer(): KeyedRollup.Buffer =
     new KeyedRollup.Buffer
 
+  // Allocation-free steady state (r6): the hot-path update used to call
+  // UTF8String.toString on the key AND every distinct-slot value — ~5 Java
+  // String allocations PER WRITTEN ROW, i.e. direct GC pressure on the
+  // pipeline's 4-thread leg (guide §5; the bench's n4 legs showed gc_sec
+  // inflation in degraded windows). Keys/values now stay UTF8String:
+  // lookups compare the transient row-backed bytes directly, and a copy is
+  // made only on FIRST insert of a new key/value (bounded by tools × roles
+  // × days and the dimensions' value space — O(1) amortized).
   override def update(buf: KeyedRollup.Buffer, input: InternalRow): KeyedRollup.Buffer = {
     val k = key.eval(input)
     if (k != null) {
-      val stats = buf.statsFor(k.asInstanceOf[UTF8String].toString)
+      val stats = buf.statsFor(k.asInstanceOf[UTF8String])
       stats.n += 1
       val arr = values.eval(input).asInstanceOf[ArrayData]
       if (arr != null) {
@@ -59,7 +67,11 @@ case class KeyedRollup(
         if (stats.sets.length < m) stats.grow(m)
         var i = 0
         while (i < m) {
-          if (!arr.isNullAt(i)) stats.sets(i) += arr.getUTF8String(i).toString
+          if (!arr.isNullAt(i)) {
+            val v = arr.getUTF8String(i)
+            val set = stats.sets(i)
+            if (!set.contains(v)) set += v.clone() // own the bytes: the row buffer is reused
+          }
           i += 1
         }
       }
@@ -99,32 +111,46 @@ object KeyedRollup {
 
   final class Stats {
     var n: Long = 0L
-    var sets: Array[mutable.HashSet[String]] = Array.empty
+    var sets: Array[mutable.HashSet[UTF8String]] = Array.empty
     def grow(m: Int): Unit = {
-      val next = Array.fill(m)(mutable.HashSet.empty[String])
+      val next = Array.fill(m)(mutable.HashSet.empty[UTF8String])
       System.arraycopy(sets, 0, next, 0, sets.length)
       sets = next
     }
   }
 
   final class Buffer {
-    val map: mutable.HashMap[String, Stats] = mutable.HashMap.empty
-    def statsFor(k: String): Stats = map.getOrElseUpdate(k, new Stats)
+    val map: mutable.HashMap[UTF8String, Stats] = mutable.HashMap.empty
+    /** Lookup with a transient row-backed key; clones the bytes only when
+      * inserting a new key (UTF8String hashes/compares by bytes).
+      */
+    def statsFor(k: UTF8String): Stats = map.get(k) match {
+      case Some(s) => s
+      case None =>
+        val s = new Stats
+        map.put(k.clone(), s)
+        s
+    }
+    def statsFor(k: String): Stats = statsFor(UTF8String.fromString(k))
   }
 
   private val mapper = new ObjectMapper()
 
+  // Strings materialize HERE, once per distinct key/value at serialization
+  // (sorted as java.lang.String, exactly as before — the UTF8String binary
+  // order could differ for non-ASCII, so the JSON stays byte-identical).
   def toJson(buf: Buffer): String = {
     val root = mapper.createObjectNode()
-    buf.map.toSeq.sortBy(_._1).foreach { case (k, s) =>
-      val o = root.putObject(k)
-      o.put("n", s.n)
-      val sets = o.putArray("sets")
-      s.sets.foreach { set =>
-        val a = sets.addArray()
-        set.toSeq.sorted.foreach(a.add)
+    buf.map.toSeq.map { case (k, s) => k.toString -> s }.sortBy(_._1)
+      .foreach { case (k, s) =>
+        val o = root.putObject(k)
+        o.put("n", s.n)
+        val sets = o.putArray("sets")
+        s.sets.foreach { set =>
+          val a = sets.addArray()
+          set.toSeq.map(_.toString).sorted.foreach(a.add)
+        }
       }
-    }
     root.toString
   }
 
@@ -138,7 +164,8 @@ object KeyedRollup {
       val sets = e.getValue.get("sets")
       s.grow(sets.size())
       (0 until sets.size()).foreach { i =>
-        sets.get(i).elements().asScala.foreach(v => s.sets(i) += v.asText())
+        sets.get(i).elements().asScala.foreach(v =>
+          s.sets(i) += UTF8String.fromString(v.asText()))
       }
     }
     buf
@@ -149,9 +176,10 @@ object KeyedRollup {
 
   def parse(json: String): Seq[Entry] = {
     val buf = fromJson(json)
-    buf.map.toSeq.sortBy(_._1).map { case (k, s) =>
-      Entry(k, s.n, s.sets.toSeq.map(_.toSet))
-    }
+    buf.map.toSeq.map { case (k, s) => k.toString -> s }.sortBy(_._1)
+      .map { case (k, s) =>
+        Entry(k, s.n, s.sets.toSeq.map(_.map(_.toString).toSet))
+      }
   }
 
   def keyed_rollup(key: Column, values: Column): Column =

@@ -92,6 +92,24 @@ class TermIndexSpec extends SparkSpec {
     assert(queries.map(rows) == before, "pruning changed a query result")
   }
 
+  test("a useless probe (keeps >90% of files) short-circuits to a full scan") {
+    TermIndex.build(spark, out, numBits = 1 << 16)
+    // ANY-probe whose terms cover every generated row shape (each P3
+    // sentence head + CALL/RESULT keywords): every file's bloom hits ≥ 1
+    // term → keep fraction 1.0 > PruneUselessFrac → pruneFiles declares
+    // the probe useless and the grep falls back to the committed read path
+    val common = Seq("the", "please", "retry", "ignore", "we", "call", "result")
+    assert(TermIndex.pruneFiles(spark, routedPath, common, 1).isEmpty,
+      "a probe keeping every file should return None")
+    // result set is unchanged by the fallback (pruning is only ever a scan
+    // optimization)
+    val q = Grep.Query(terms = common, mode = Grep.MatchAny, limit = 1000000)
+    val viaIndex = Grep.query(spark, routedPath, q)
+    val direct = Manifest.readCommitted(spark, routedPath).get
+      .filter(Grep.matchPredicate(common, Grep.MatchAny))
+    assert(viaIndex.count() == direct.count())
+  }
+
   test("a match no file can satisfy returns empty with the schema intact") {
     TermIndex.build(spark, out, numBits = 1 << 16)
     val df = Grep.query(spark, routedPath,

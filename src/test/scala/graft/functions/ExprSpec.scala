@@ -187,4 +187,54 @@ class ExprSpec extends SparkSpec {
       assert(interp == gen)
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
+
+  test("terms_match equals the per-term array_contains formulation on fuzzed corpora") {
+    // the replaced formulations, kept as oracles (r6, VERDICT r5 #3):
+    // Grep.matchPredicate's split-based tokens (leading-empty edge included)
+    def toks = split(lower($"text"), "\\W+")
+    def refAny(terms: Seq[String]) =
+      arrays_overlap(toks, array(terms.map(lit): _*))
+    def refAll(terms: Seq[String]) =
+      terms.map(t => array_contains(toks, t)).reduce(_ && _)
+    def refQuorum(terms: Seq[String], k: Int) =
+      terms.map(t => when(array_contains(toks, t), 1).otherwise(0))
+        .reduce(_ + _) >= k
+    val vocab = Seq("spark", "table", "scan", "join", "x1", "_u", "42", "TaBlE")
+    val rng = new scala.util.Random(11)
+    val seps = Seq(" ", ", ", "  --  ", "\t", "!", ".")
+    val texts = (0 until 500).map { i =>
+      val body = (0 until rng.nextInt(25))
+        .map(_ => vocab(rng.nextInt(vocab.length)))
+        .mkString(seps(rng.nextInt(seps.length)))
+      (if (i % 5 == 0) "!" else "") + body + (if (i % 7 == 0) "," else "")
+    } :+ "" :+ "SPARK Table spark" :+ "spark_table spark table" :+ "!leading"
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text").cache()
+    for (terms <- Seq(Seq("spark"), Seq("spark", "table"),
+        Seq("spark", "table", "42"), Seq("spark", "spark", "table"),
+        Seq("a.b", "spark"), Seq("", "spark"), Seq("_u", "x1"))) {
+      def rows(c: org.apache.spark.sql.Column): Seq[Long] =
+        df.filter(c).select($"id").as[Long].collect().toSeq.sorted
+      assert(rows(GraftFunctions.terms_match($"text", terms, 1)) ==
+        rows(refAny(terms)), s"ANY $terms")
+      assert(rows(GraftFunctions.terms_match($"text", terms, terms.length)) ==
+        rows(refAll(terms)), s"ALL $terms")
+      for (k <- 1 to terms.length)
+        assert(rows(GraftFunctions.terms_match($"text", terms, k)) ==
+          rows(refQuorum(terms, k)), s"QUORUM($k) $terms")
+    }
+    // null text → null (filter-equivalent to the replaced shapes)
+    val nulled = Seq[String](null).toDF("text")
+      .select(GraftFunctions.terms_match($"text", Seq("a"), 1)).collect()
+    assert(nulled(0).isNullAt(0))
+    // interpreted eval agrees with codegen
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = df.select(GraftFunctions.terms_match($"text", Seq("spark", "table"), 2))
+        .collect().map(_.getBoolean(0)).toSeq
+      val gen = df.select(refAll(Seq("spark", "table"))).collect()
+        .map(_.getBoolean(0)).toSeq
+      assert(interp == gen)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
 }
