@@ -100,6 +100,31 @@ object Profile {
       cleanup(work); spark.stop(); return
     }
 
+    // PROFILE_MODE=enrichab: does the pipeline's enrich join (whose output
+    // columns the write path provably drops) cost measurable time? A/B
+    // interleaved pairs of the classify→dedup→extract chain with and
+    // without Enrich.stage, noop sink — within-pair ratios survive host
+    // noise waves (bench protocol).
+    if (sys.env.get("PROFILE_MODE").contains("enrichab")) {
+      val okOf = (d: DataFrame) => Parse.splitQuarantine(Parse.classify(d))._1
+      def chain(enrich: Boolean): DataFrame = {
+        val deduped = Route.replaceSemantics(Route.stage(okOf(turns)
+          .drop(Parse.matchCols: _*)))
+        val x = Parse.extract(deduped)
+        val r = if (enrich) Enrich.stage(spark)(x) else x
+        r.select(Pipeline.routedColumns.map(
+          org.apache.spark.sql.functions.col): _*)
+      }
+      noop(chain(enrich = true)) // warm both shapes
+      noop(chain(enrich = false))
+      (1 to 4).foreach { i =>
+        val tA = { val t0 = System.nanoTime(); noop(chain(enrich = true)); (System.nanoTime() - t0) / 1e9 }
+        val tB = { val t0 = System.nanoTime(); noop(chain(enrich = false)); (System.nanoTime() - t0) / 1e9 }
+        println(f"PROFILE enrichab_pair$i with=$tA%.2f without=$tB%.2f ratio=${tB / tA}%.3f")
+      }
+      cleanup(work); spark.stop(); return
+    }
+
     // PROFILE_MODE=grepindex: term-bloom index payoff at scale — ingest a
     // routed table, time a rare-term grep unindexed vs indexed (3 reps
     // each, interleave-free: the deltas of interest are 5-10× so window

@@ -1,14 +1,14 @@
 package graft
 
 import graft.ops._
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scratch profiler for individual operator queries (tuning tool).
-  * Current experiment: where does lang-id / q61 time go — repeated
-  * regex-count subtrees (does codegen CSE dedupe them?), the
-  * regexp_extract_all array allocation vs regexp_count, and the curate
-  * chain end-to-end.
+  * Round-6 experiment: q61's Filter node references `text_profile(text)`
+  * ~15 times (FilterExec gets no subexpression elimination, unlike
+  * ProjectExec) — does evaluating the profile once behind a projection
+  * barrier beat the repeated inline evaluation at 100k docs?
   */
 object QDebug {
   def main(args: Array[String]): Unit = {
@@ -33,42 +33,28 @@ object QDebug {
       .reduce(_.unionByName(_)).localCheckpoint()
     timed("scan_only")(docs.count())
 
-    def hitsEx(c: Column, pat: String): Column =
-      size(regexp_extract_all(lower(c), lit(pat), lit(0)))
-    def hitsCnt(c: Column, pat: String): Column =
-      regexp_count(lower(c), lit(pat)).cast("int")
-
-    val pats = TextAnalysis.stopwordPatterns
-    // 1 regex, extract_all vs count
-    timed("one_extract_all")(
-      docs.select(sum(hitsEx(col("text"), pats.head._2))).collect()(0))
-    timed("one_regexp_count")(
-      docs.select(sum(hitsCnt(col("text"), pats.head._2))).collect()(0))
-    // all 4, evaluated once each
-    timed("four_extract_all")(docs.select(
-      sum(pats.map(p => hitsEx(col("text"), p._2)).reduce(_ + _))).collect()(0))
-    timed("four_regexp_count")(docs.select(
-      sum(pats.map(p => hitsCnt(col("text"), p._2)).reduce(_ + _))).collect()(0))
-    // the shipped langId (potentially O(L^2) duplicated subtrees — or CSE'd?)
-    timed("withLangId_shipped")(
-      TextAnalysis.withLangId(docs).groupBy("lang_guess").count().collect().length)
-    timed("langid_only")(
-      docs.select(TextAnalysis.langId(col("text")).as("l"))
-        .groupBy("l").count().collect().length)
-    // counts-array argmax variant (each regex once per row, argmax in SQL)
-    val counts = array(pats.map(p => hitsCnt(col("text"), p._2)): _*)
-    val langs = array(pats.map(p => lit(p._1)): _*)
-    val argmaxLang = {
-      val best = array_max(col("__c"))
-      when(best === 0, lit("und")).otherwise(
-        element_at(col("__l"), array_position(col("__c"), best).cast("int")))
+    // the q61 head: quality >= 0.6 AND lang == en, as Curate builds it
+    // (text_profile substituted into the Filter by project collapse)
+    def inlineFilter(d: DataFrame): DataFrame = {
+      val scored = TextAnalysis.withLangId(TextAnalysis.qualityScore(d))
+      scored.filter(col("quality_score") >= 0.6 &&
+        col("lang_guess").isin("en"))
     }
-    timed("langid_array_argmax")(
-      docs.withColumn("__c", counts).withColumn("__l", langs)
-        .select(argmaxLang.as("l")).groupBy("l").count().collect().length)
-    // quality score alone, then the full curate chain
-    timed("qualityScore")(
-      TextAnalysis.qualityScore(docs).agg(sum("quality_score")).collect()(0))
+    // interleaved A/B: inline (current) vs count with agg over the same
+    // predicate expressed once per row in a PROJECTION (CSE applies there)
+    (1 to 3).foreach { i =>
+      timed(s"filter_inline_$i")(inlineFilter(docs).count())
+      timed(s"project_then_filter_$i") {
+        val scored = TextAnalysis.withLangId(TextAnalysis.qualityScore(docs))
+        // force the filter input through an aggregation-opaque projection:
+        // count via sum(case when ...) so the predicate is evaluated in a
+        // Project/Aggregate context where codegen CSE dedupes text_profile
+        scored.select(
+          sum(when(col("quality_score") >= 0.6 &&
+            col("lang_guess").isin("en"), 1L).otherwise(0L)))
+          .collect()(0).getLong(0)
+      }
+    }
     timed("curate_full")(Curate.curate(docs).count())
     timed("curate_full_again")(Curate.curate(docs).count())
     spark.stop()

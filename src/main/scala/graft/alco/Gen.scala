@@ -1,41 +1,7 @@
 package graft.alco
 
 import org.apache.spark.sql.{Column, Dataset, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graftx.ColumnBridge
-import org.apache.spark.sql.types.DataType
-
-/** Identity wrapper marked non-deterministic so the optimizer pins the
-  * wrapped alias in place: predicate pushdown will NOT substitute it into a
-  * filter and push further down.
-  *
-  * Why (round-4 postmortem of the 64 KB codegen failure): `Gen.turns` is a
-  * pure expression tree, so a downstream filter (e.g. the quarantine split's
-  * `pattern_id =!= 0`) gets pushed through every generator projection by
-  * substituting each alias with its defining expression — the classifier's
-  * CASE (with two grok matches, three text predicates, …) ends up inlining
-  * the full text/conv_id generator CASEs dozens of times, and the generated
-  * `processNext()` blows Janino's 64 KB method limit. Real inputs are
-  * parquet scans whose columns are plain attributes (substitution is free
-  * and pushdown is pure win); only the synthetic generator has this
-  * exploding-substitution shape, so the barrier lives here, on the one
-  * column the parse stage re-references many times. The VALUE is still fully
-  * deterministic in the row — only the optimizer contract says "don't move
-  * me", the same contract Spark's own uuid()/rand() rely on.
-  */
-private[alco] case class PushdownBarrier(child: Expression)
-    extends UnaryExpression {
-  override lazy val deterministic: Boolean = false
-  override def dataType: DataType = child.dataType
-  override def prettyName: String = "pushdown_barrier"
-  override def nullSafeEval(input: Any): Any = input
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => c)
-  override protected def withNewChildInternal(newChild: Expression): PushdownBarrier =
-    copy(child = newChild)
-}
 
 /** Deterministic transcripts generator (FIXTURES.md §1-2).
   *
@@ -55,7 +21,7 @@ object Gen {
   private val baseEpochSec = 1735689600L
 
   private def barrier(c: Column): Column =
-    ColumnBridge.column(PushdownBarrier(ColumnBridge.expression(c)))
+    graft.functions.PushdownBarrier.barrier(c)
 
   /** @param textBarrier test-only escape hatch: false reproduces the
     *                    unbarriered expression tree (PlanSpec proves the

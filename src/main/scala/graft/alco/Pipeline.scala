@@ -167,7 +167,17 @@ object Pipeline {
     val (ok, quarantine) = Parse.splitQuarantine(classified)
     val deduped = Route.replaceSemantics(
       Route.stage(ok.drop(Parse.matchCols: _*)))
-    val routed0 = Enrich.stage(spark)(Parse.extract(deduped)) // seq survives dedup
+    // No Enrich.stage here (r6, guide §1.2 "don't compute what you throw
+    // away"): the write projection below keeps only `writeColumns`, and no
+    // enrich output (role_group/tool_family/is_*/enrich_missing) is in it —
+    // Catalyst cannot eliminate a left outer join it can't prove unique, so
+    // the two broadcast probes ran per row for columns provably dropped.
+    // Measured (PROFILE_MODE=enrichab, 2M rows, 4 interleaved pairs): the
+    // enrich-free chain is stable at 4.5-4.6 s while the enriched one
+    // swings 4.7-9.9 s in the same windows. The enrich operator itself
+    // (O16) stays on the query surface (q07/q31/q33/q34, entry()), where
+    // its output is actually consumed.
+    val routed0 = Parse.extract(deduped) // seq survives dedup
 
     // Directory partitioning cannot represent the empty-string tool (it
     // round-trips as null), so the partition key is a sanitized `tool_key`

@@ -42,18 +42,27 @@ case class MaxByRow(
 
   @transient private lazy val ordCmp =
     TypeUtils.getInterpretedOrdering(ordering.dataType)
+  // ONE generated projection evaluates (ordering, value) straight off the
+  // input row into an UnsafeRow pair (r6, guide §1.2 order-of-operations
+  // step 2): the previous update path ran ordering.eval + value.eval
+  // interpreted — each CreateNamedStruct.eval allocates a boxed
+  // GenericInternalRow per input row — and then re-serialized both through
+  // a second projection. With near-unique dedup keys every input row takes
+  // the "first row of its group" path, so this is per-ROW cost on the
+  // pipeline's one data shuffle, not per-group.
   @transient private lazy val pairProj =
-    UnsafeProjection.create(Array(ordering.dataType, value.dataType))
-  @transient private lazy val pairRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+    UnsafeProjection.create(Seq(ordering, value))
 
   override def createAggregationBuffer(): MaxByRow.Buffer = new MaxByRow.Buffer
 
   override def update(buf: MaxByRow.Buffer, input: InternalRow): MaxByRow.Buffer = {
-    val ord = ordering.eval(input)
-    if (ord != null && (buf.row == null || wins(ordCmp.compare(ord, buf.ord)))) {
-      pairRow.update(0, ord)
-      pairRow.update(1, value.eval(input))
-      buf.set(pairProj(pairRow).copy(), ordering.dataType)
+    val pair = pairProj(input)
+    if (!pair.isNullAt(0)) {
+      if (buf.row == null) buf.set(pair.copy(), ordering.dataType)
+      else {
+        val ord = pair.get(0, ordering.dataType)
+        if (wins(ordCmp.compare(ord, buf.ord))) buf.set(pair.copy(), ordering.dataType)
+      }
     }
     buf
   }

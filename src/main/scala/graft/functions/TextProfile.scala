@@ -38,6 +38,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *      \w/\s as ASCII-only without flags).
   *  - n_alpha  = length(regexp_replace(lower(t), "[^a-z]", ""))
   *      = total a-z bytes of the lowercased string (mean-word-length input).
+  *  - bpeish_tokens = size(regexp_extract_all(t, "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+  *      (r6, for q28/token accounting) = maximal ASCII-letter runs of the
+  *      ORIGINAL string, plus one per ASCII digit, plus one per code point
+  *      outside [A-Za-z0-9\s] ('_' and every non-ASCII code point
+  *      included). Alternation order can't merge classes: a letter run
+  *      never contains a digit, so the three alternatives partition the
+  *      non-whitespace code points exactly as the per-class counts do.
   *  - sw_XX    = regexp_count(lower(t), "\\b(w1|...|wN)\\b")
   *      = lowercased maximal ASCII word-char runs [a-z0-9_] that EXACTLY
   *      equal a stopword. Equivalence argument: every alternative is a pure
@@ -82,7 +89,7 @@ object TextProfile {
 
   val schema: StructType = StructType(
     (Seq("n_tokens", "n_words", "n_punct", "n_alpha") ++
-      languages.map("sw_" + _))
+      languages.map("sw_" + _) :+ "bpeish_tokens")
       .map(f => StructField(f, IntegerType, nullable = false)))
 
   /** Stopword lists (≤ 4 chars each, pure a-z — packing below relies on
@@ -130,17 +137,28 @@ object TextProfile {
     val ob = text.getBytes
     var nTokens = 0
     var nPunct = 0
+    var nBpe = 0
     var inTok = false
+    var inLetter = false
     var i = 0
     while (i < ob.length) {
       val b = ob(i)
-      if (b >= 0 && isWs(b)) inTok = false
+      if (b >= 0 && isWs(b)) { inTok = false; inLetter = false }
       else {
         if (!inTok) nTokens += 1
         inTok = true
         // count each code point (non-continuation byte) outside \w and \s;
         // any non-ASCII code point is outside both ASCII classes
         if ((b & 0xc0) != 0x80 && !(b >= 0 && isWord(b))) nPunct += 1
+        // bpeish pre-tokenizer classes: [A-Za-z]+ run | [0-9] | one per
+        // other code point (see scaladoc equivalence entry)
+        val letter = (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')
+        if (letter) { if (!inLetter) nBpe += 1; inLetter = true }
+        else {
+          inLetter = false
+          if (b >= '0' && b <= '9') nBpe += 1
+          else if ((b & 0xc0) != 0x80) nBpe += 1
+        }
       }
       i += 1
     }
@@ -185,10 +203,11 @@ object TextProfile {
       i += 1
     }
     endRun()
-    val out = new Array[Any](4 + sw.length)
+    val out = new Array[Any](5 + sw.length)
     out(0) = nTokens; out(1) = nWords; out(2) = nPunct; out(3) = nAlpha
     var l = 0
     while (l < sw.length) { out(4 + l) = sw(l); l += 1 }
+    out(4 + sw.length) = nBpe
     new GenericInternalRow(out)
   }
 }

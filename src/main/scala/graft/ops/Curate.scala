@@ -41,10 +41,24 @@ object Curate {
       cfg: Config): Seq[(String, DataFrame)] = {
     val scored = TextAnalysis.withLangId(
       TextAnalysis.qualityScore(df, textCol), textCol)
-    val qualityOk = scored.filter(col("quality_score") >= cfg.minQuality)
+    // The filter predicates are evaluated ONCE per row behind a pushdown
+    // barrier (r6, guide §4.4): plain filters on the quality/lang aliases
+    // get substituted into the Filter node by predicate pushdown, and
+    // FilterExec does no subexpression elimination — the collapsed
+    // predicate referenced text_profile(text) ~15×, i.e. ~15 byte scans
+    // per scanned row (measured 2× the whole filter's cost at 100k docs,
+    // QDebug r6). Behind the barrier the predicate lives in a ProjectExec,
+    // where codegen CSE evaluates text_profile once. Values unchanged —
+    // the q61/q62 oracles pin the row sets.
+    import graft.functions.PushdownBarrier.barrier
+    val qualityOk = scored
+      .withColumn("__keep_q", barrier(col("quality_score") >= cfg.minQuality))
+      .filter(col("__keep_q")).drop("__keep_q")
     val langOk =
       if (cfg.langs.isEmpty) qualityOk
-      else qualityOk.filter(col("lang_guess").isin(cfg.langs: _*))
+      else qualityOk
+        .withColumn("__keep_l", barrier(col("lang_guess").isin(cfg.langs: _*)))
+        .filter(col("__keep_l")).drop("__keep_l")
     // prune the scoring scratch columns (sw_*, count/ratio fields) before
     // the dedup shuffle — only the published columns ride the wire
     val deduped =

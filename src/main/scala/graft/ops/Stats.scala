@@ -12,8 +12,12 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  // one TextProfile byte scan, no regex / match-array allocation (r6);
+  // n_tokens ≡ size(regexp_extract_all(t, "\S+")) by the TextProfile
+  // equivalence contract
   private def nTok(textCol: String) =
-    size(regexp_extract_all(col(textCol), lit("""\S+"""), lit(0))).cast("long")
+    graft.functions.GraftFunctions.text_profile(col(textCol))
+      .getField("n_tokens").cast("long")
 
   /** Per-source profile: docs, token totals, mean/max tokens, chars. */
   def corpusProfile(df: DataFrame, sourceCol: String = "source",

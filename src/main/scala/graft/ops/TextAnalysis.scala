@@ -100,13 +100,15 @@ object TextAnalysis {
 
   /** Token counts: whitespace tokens plus a BPE-ish segmentation (letter
     * runs / digit runs / single other symbols — the classic pre-tokenizer
-    * regex) for an LLM-cost proxy.
+    * regex) for an LLM-cost proxy. Both counts ride ONE TextProfile byte
+    * scan (r6; was two regexp_extract_all passes, each allocating a
+    * match array per row — the counts are bit-identical by the
+    * TextProfile equivalence contract, q28-oracle-pinned).
     */
   def tokenCounts(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = col(textCol)
-    df.withColumn("ws_tokens", size(regexp_extract_all(t, lit("""\S+"""), lit(0))))
-      .withColumn("bpeish_tokens",
-        size(regexp_extract_all(t, lit("""[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"""), lit(0))))
+    val tp = GraftFunctions.text_profile(col(textCol))
+    df.withColumn("ws_tokens", tp.getField("n_tokens"))
+      .withColumn("bpeish_tokens", tp.getField("bpeish_tokens"))
   }
 
   /** Document fingerprints:

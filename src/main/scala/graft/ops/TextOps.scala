@@ -84,8 +84,9 @@ object TextOps {
   def packSequences(df: DataFrame, idCol: String, textCol: String,
       tokensPerPack: Int, nShards: Int): DataFrame = {
     require(tokensPerPack >= 1 && nShards >= 1)
-    val nTok = size(regexp_extract_all(col(textCol), lit("""\S+"""), lit(0)))
-      .cast("long")
+    // one TextProfile byte scan (r6); ≡ size(regexp_extract_all(t, "\S+"))
+    val nTok = graft.functions.GraftFunctions.text_profile(col(textCol))
+      .getField("n_tokens").cast("long")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col(idCol))
     df.select(col(idCol), nTok.as("n_tokens"),

@@ -378,7 +378,8 @@ class OpsSpec extends SparkSpec {
       length(regexp_replace(lower(t), lit("""[^a-z]"""), lit(""))).as("n_alpha")) ++
       TextAnalysis.stopwordPatterns.map { case (l, p) =>
         hits(t, p).as(s"sw_$l")
-      }
+      } :+ size(regexp_extract_all(t,
+        lit("""[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"""), lit(0))).as("bpeish_tokens")
     // adversarial fixtures: boundary-adjacent digits/underscores (\b does
     // NOT fire inside a word-char run), stopword prefixes/suffixes, words
     // shared across languages, unicode (non-ASCII is \b-boundary AND
@@ -399,8 +400,8 @@ class OpsSpec extends SparkSpec {
     val df = (planted ++ fuzz).zipWithIndex
       .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
     val tp = GraftFunctions.text_profile(t).as("p")
-    val fields = Seq("n_tokens", "n_words", "n_punct", "n_alpha") ++
-      TextAnalysis.stopwordPatterns.map("sw_" + _._1)
+    val fields = (Seq("n_tokens", "n_words", "n_punct", "n_alpha") ++
+      TextAnalysis.stopwordPatterns.map("sw_" + _._1)) :+ "bpeish_tokens"
     val slow = df.select(col("doc_id") +: regexSide: _*)
     val fast2 = df.withColumn("p", tp)
       .select(col("doc_id") +: fields.map(f => col("p")(f).as(f)): _*)
