@@ -49,14 +49,17 @@ object ScaleCheck {
         else d.withColumn("text", concat(col("text"), lit(s" salt$i")))
       }.reduce(_ unionByName _)
 
+    // SPARK_GRAFT_SCALE_ONLY=emb reruns just the embeddings section
+    val embOnly = sys.env.get("SPARK_GRAFT_SCALE_ONLY").contains("emb")
+
     val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text")).localCheckpoint()
-    val docs10 = inflate(docs1, 10, "doc_id").localCheckpoint()
+    val docs10 = if (embOnly) docs1 else inflate(docs1, 10, "doc_id").localCheckpoint()
     val lined1 = graft.alco.Gen.linedDocs(spark, 4000L).localCheckpoint()
-    val lined10 = graft.alco.Gen.linedDocs(spark, 40000L).localCheckpoint()
+    val lined10 = if (embOnly) lined1 else graft.alco.Gen.linedDocs(spark, 40000L).localCheckpoint()
     println(s"SCALECHECK corpus docs1=${docs1.count()} docs10=${docs10.count()}")
 
-    for ((tag, d) <- Seq("1x" -> docs1, "10x" -> docs10)) {
+    for ((tag, d) <- if (embOnly) Seq.empty else Seq("1x" -> docs1, "10x" -> docs10)) {
       timed(s"q21_jaccard_pairs_$tag") {
         val sets = d.select(col("doc_id").as("id"),
           array_distinct(TextOps.tokens(col("text"))).as("sh"))
@@ -86,7 +89,8 @@ object ScaleCheck {
       timed(s"q57_surprisal_$tag")(noop(
         TextAnalysis.unigramSurprisal(d, "doc_id")))
     }
-    for ((tag, d) <- Seq("1x" -> lined1, "10x" -> lined10))
+    for ((tag, d) <- if (embOnly) Seq.empty
+                     else Seq("1x" -> lined1, "10x" -> lined10))
       timed(s"q58_line_dedup_$tag")(noop(
         Dedup.dropBoilerplateLines(d, "doc_id", "text", minDocFreq = 10)))
 

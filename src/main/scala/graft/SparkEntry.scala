@@ -74,13 +74,17 @@ object SparkEntry {
           Seq("table", "query"), 2))
         .select(col("doc_id"))),
 
-    // ── O16: broadcast-hash-join enrich (fact × small dims) ──
+    // ── O16: broadcast-hash-join enrich (fact × small dims). The dims are
+    // pre-joined (customer ⋈ nation is dim-sized) so the FACT side takes
+    // ONE broadcast hash probe per row instead of two (r6, guide §3 —
+    // inner-join reordering, result-identical; the snowflake → star
+    // collapse every warehouse planner does) ──
     "q07_enrich_bcast" -> ((s, dir) =>
       t(s, dir, "orders")
-        .join(broadcast(t(s, dir, "customer")),
+        .join(broadcast(t(s, dir, "customer")
+            .join(t(s, dir, "nation"),
+              col("c_nationkey") === col("n_nationkey"))),
           col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t(s, dir, "nation")),
-          col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast("decimal(18,2)"))

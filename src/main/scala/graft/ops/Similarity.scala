@@ -25,10 +25,16 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm(a) * norm(b)
-    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
-  }
+  /** Cosine similarity — ONE codegen'd pass over both arrays (r6,
+    * guide §4): the previous `when(norm(a)*norm(b) === 0, 0.0)
+    * .otherwise(dot(a,b)/...)` formulation ran three interpreted
+    * zip_with+aggregate folds per scored PAIR (HigherOrderFunctions are
+    * CodegenFallback). Bit-identical IEEE math — equivalence contract and
+    * proof sketch at graft.functions.CosineSim; pinned by the q77/q79
+    * exact-pair oracles and the q24/q42/q76 brute-force bridges.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim.cosine_sim(a, b)
 
   /** Rank the scored (query_id, neighbor_id, cos) rows into per-query top-k
     * via the bounded TopKRows hash aggregate — never a Window: a

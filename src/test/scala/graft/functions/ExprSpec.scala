@@ -188,6 +188,54 @@ class ExprSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("cosine_sim equals the zip_with/aggregate formulation bit-for-bit") {
+    // the replaced HOF chain, rebuilt verbatim as the oracle (r6)
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    def hofCos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      val d = sqrt(hofDot(a, a)) * sqrt(hofDot(b, b))
+      when(d === 0, lit(0.0)).otherwise(hofDot(a, b) / d)
+    }
+    val rng = new scala.util.Random(13)
+    def vec(n: Int): Seq[Float] = Seq.fill(n)((rng.nextFloat() - 0.5f) * 4f)
+    val rows: Seq[(Seq[Float], Seq[Float])] =
+      (0 until 200).map(_ => (vec(64), vec(64))) ++ Seq(
+        (Seq.empty[Float], Seq.empty[Float]),          // d == 0 → 0.0
+        (Seq(0f, 0f), Seq(1f, 2f)),                    // zero vector → 0.0
+        (Seq(1f, 2f), Seq(1f, 2f, 3f)),                // length mismatch → null
+        (Seq(Float.NaN, 1f), Seq(1f, 1f)))             // NaN propagates
+    val df = rows.toDF("a", "b").cache()
+    val fast = df.select(CosineSim.cosine_sim($"a", $"b")).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+    val slow = df.select(hofCos($"a", $"b")).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+    fast.zip(slow).zipWithIndex.foreach { case ((f, s), i) =>
+      val eq = (f == null && s == null) ||
+        (f != null && s != null && (f == s ||
+          (f.asInstanceOf[Double].isNaN && s.asInstanceOf[Double].isNaN)))
+      assert(eq, s"row $i: fast=$f slow=$s")
+    }
+    // null arrays → null on both sides
+    val nulled = Seq((null.asInstanceOf[Seq[Float]], Seq(1f)))
+      .toDF("a", "b")
+      .select(CosineSim.cosine_sim($"a", $"b")).collect()
+    assert(nulled(0).isNullAt(0))
+    // interpreted ≡ codegen
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = df.select(CosineSim.cosine_sim($"a", $"b")).collect()
+        .map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+      // NaN-tolerant equality (NaN != NaN under ==)
+      assert(interp.length == fast.length && interp.zip(fast).forall {
+        case (null, null) => true
+        case (x: java.lang.Double, y: java.lang.Double) =>
+          x == y || (x.isNaN && y.isNaN)
+        case _ => false
+      })
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("terms_match equals the per-term array_contains formulation on fuzzed corpora") {
     // the replaced formulations, kept as oracles (r6, VERDICT r5 #3):
     // Grep.matchPredicate's split-based tokens (leading-empty edge included)
