@@ -65,6 +65,91 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd sign-LSH bucket id (r6, guide §4): one pass over the vector
+  * computes all `planes` projections — the previous per-plane
+  * `aggregate(zip_with(vec, sequence(...), ...))` chain was CodegenFallback
+  * (interpreted lambda folds), paid once per CORPUS ROW per plane, i.e. the
+  * scan cost of every LSH op at 100 TB.
+  *
+  * Bit-exact equivalence with Similarity.lshBucket's formulation:
+  *  - component(p, i) = (pmod(xxhash64(p:int, i:int), 20001) − 10000) /
+  *    10000.0 — replayed via the same XXH64.hashInt chain Spark's xxhash64
+  *    evaluates (seed 42, then each arg in order), same pmod and the same
+  *    subtract-cast-divide order;
+  *  - proj_p = Σ_i double(x_i) · component(p, i), sequential add in index
+  *    order ≡ the per-plane zip_with+aggregate fold;
+  *  - bit p set iff proj_p >= 0; any NULL element ⇒ every proj null ⇒
+  *    every `when` falls to 0 ⇒ bucket 0; EMPTY vector ⇒ bucket 0 too
+  *    (sequence(0, size−1) DESCENDS to [0,−1] at size 0, zip_with pads the
+  *    empty side with null ⇒ null fold — replicated exactly); null vector
+  *    ⇒ null.
+  */
+case class SignLshBucket(child: Expression, planes: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(planes >= 1 && planes <= 63, "need 1 <= planes <= 63")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sign_lsh_bucket"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got ${other.catalogString}")
+  }
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any =
+    SignLshBucket.bucket(input.asInstanceOf[ArrayData], planes, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SignLshBucket.bucket($c, $planes, $isFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression): SignLshBucket =
+    copy(child = newChild)
+}
+
+object SignLshBucket {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  /** component(p, i) of Similarity.planeComponent, bit-for-bit. */
+  @inline private def component(p: Int, i: Int): Double = {
+    val h = XXH64.hashInt(i, XXH64.hashInt(p, 42L))
+    var r = h % 20001L
+    if (r < 0) r += 20001L
+    (r - 10000L).toDouble / 10000.0
+  }
+
+  def bucket(vec: ArrayData, planes: Int, isFloat: Boolean): Long = {
+    val n = vec.numElements()
+    if (n == 0) return 0L // descending sequence + zip_with pad ⇒ null fold
+    val proj = new Array[Double](planes)
+    var i = 0
+    while (i < n) {
+      if (vec.isNullAt(i)) return 0L // null element ⇒ null projs ⇒ all bits 0
+      val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      var p = 0
+      while (p < planes) {
+        proj(p) += x * component(p, i)
+        p += 1
+      }
+      i += 1
+    }
+    var b = 0L
+    var p = 0
+    while (p < planes) {
+      if (proj(p) >= 0) b |= 1L << p
+      p += 1
+    }
+    b
+  }
+
+  def sign_lsh_bucket(vec: Column, planes: Int): Column =
+    ColumnBridge.column(SignLshBucket(ColumnBridge.expression(vec), planes))
+}
+
 object CosineSim {
 
   /** Shared by interpreted eval and generated code. Boxed Double or null. */

@@ -67,12 +67,11 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * uniform in [-1, 1), derived from xxhash64 — no RNG state, identical on
-    * every executor/run.
-    */
-  private def planeComponent(plane: Int, d: Column): Column =
-    (pmod(xxhash64(lit(plane), d), lit(20001L)) - 10000L).cast("double") / 10000.0
+  // Hyperplane components are deterministic pseudo-random values in [-1, 1)
+  // derived from xxhash64(plane, dim) — no RNG state, identical on every
+  // executor/run; computed inside SignLshBucket since r6 (the Column
+  // formulation `(pmod(xxhash64(lit(p), d), 20001) - 10000) / 10000.0`
+  // is kept verbatim as the ExprSpec oracle).
 
   /** Sign-LSH bucket id: one bit per hyperplane = sign of dot(v, plane).
     * `planes = 0` is the documented degeneracy: ONE bucket, so bucketed
@@ -81,13 +80,14 @@ object Similarity {
     */
   def lshBucket(vec: Column, planes: Int): Column =
     if (planes == 0) lit(0L)
-    else (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    // ONE codegen'd pass computes every plane's projection (r6, guide §4):
+    // the per-plane aggregate(zip_with(..., planeComponent)) folds were
+    // CodegenFallback, paid per CORPUS ROW per plane — the scan cost of
+    // every LSH op. Bit-exact equivalence contract (same xxhash64-derived
+    // components, same fold order, same null/empty semantics) at
+    // graft.functions.SignLshBucket; ExprSpec fuzzes it against this very
+    // formulation and the q76/q79 bridges pin the downstream row sets.
+    else graft.functions.SignLshBucket.sign_lsh_bucket(vec, planes)
 
   /** ANN top-k: exact cosine ranking *within* the query's LSH bucket
     * (probing the bucket plus all hamming-1 neighbor buckets for recall).

@@ -236,6 +236,44 @@ class ExprSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("sign_lsh_bucket equals the per-plane zip_with/aggregate formulation") {
+    // Similarity.lshBucket's replaced Column formulation, rebuilt verbatim
+    def planeComponent(plane: Int, d: org.apache.spark.sql.Column) =
+      (pmod(xxhash64(lit(plane), d), lit(20001L)) - 10000L).cast("double") / 10000.0
+    def hofBucket(vec: org.apache.spark.sql.Column, planes: Int) =
+      (0 until planes).map { p =>
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, i) => x.cast("double") * planeComponent(p, i)),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    val rng = new scala.util.Random(29)
+    val rows: Seq[Seq[Float]] =
+      (0 until 200).map(_ => Seq.fill(1 + rng.nextInt(80))(
+        (rng.nextFloat() - 0.5f) * 4f)) :+ Seq.empty[Float]
+    val df = rows.map(Tuple1(_)).toDF("v").cache()
+    for (planes <- Seq(1, 5, 12)) {
+      val fast = df.select(SignLshBucket.sign_lsh_bucket($"v", planes))
+        .collect().map(_.getLong(0)).toSeq
+      val slow = df.select(hofBucket($"v", planes)).collect()
+        .map(_.getLong(0)).toSeq
+      assert(fast == slow, s"planes=$planes")
+    }
+    // null vector → null on both sides
+    val nulled = Seq(Tuple1(null.asInstanceOf[Seq[Float]])).toDF("v")
+      .select(SignLshBucket.sign_lsh_bucket($"v", 4)).collect()
+    assert(nulled(0).isNullAt(0))
+    // interpreted ≡ codegen
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = df.select(SignLshBucket.sign_lsh_bucket($"v", 5))
+        .collect().map(_.getLong(0)).toSeq
+      val gen = df.select(hofBucket($"v", 5)).collect().map(_.getLong(0)).toSeq
+      assert(interp == gen)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("terms_match equals the per-term array_contains formulation on fuzzed corpora") {
     // the replaced formulations, kept as oracles (r6, VERDICT r5 #3):
     // Grep.matchPredicate's split-based tokens (leading-empty edge included)
