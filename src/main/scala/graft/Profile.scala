@@ -125,6 +125,44 @@ object Profile {
       cleanup(work); spark.stop(); return
     }
 
+    // PROFILE_MODE=grokab: is the quarantine filter's pushed-down predicate
+    // double-evaluating the grok matches (filter + projection)? A/B the
+    // shipped classify→filter shape against one whose pattern_id is pinned
+    // behind a PushdownBarrier (grok evaluated once, filter reads the
+    // attribute), interleaved pairs, noop sink.
+    if (sys.env.get("PROFILE_MODE").contains("grokab")) {
+      import graft.functions.PushdownBarrier.barrier
+      def chainA(): DataFrame =
+        Parse.splitQuarantine(Parse.classify(turns))._1
+          .drop(Parse.matchCols: _*)
+      def chainB(): DataFrame = {
+        val t = col("text")
+        val looksStructured = t.startsWith("CALL") || t.startsWith("RESULT")
+        val metaOk = col("role").isNotNull && col("role") =!= "" &&
+          col("ts").isNotNull
+        turns
+          .withColumn("__g1", graft.functions.GrokMatch.grok_match(
+            t, Parse.P1.regex, Parse.P1.fields))
+          .withColumn("__g2", graft.functions.GrokMatch.grok_match(
+            t, Parse.P2.regex, Parse.P2.fields))
+          .withColumn("pattern_id", barrier(
+            when(!metaOk, lit(0))
+              .when(col("__g1").isNotNull, lit(1))
+              .when(col("__g2").isNotNull, lit(2))
+              .when(!looksStructured && length(t) > 0 && !t.contains("\n"), lit(3))
+              .otherwise(lit(0))))
+          .filter(col("pattern_id") =!= 0)
+          .drop(Parse.matchCols: _*)
+      }
+      noop(chainA()); noop(chainB()) // warm both
+      (1 to 4).foreach { i =>
+        val tA = { val t0 = System.nanoTime(); noop(chainA()); (System.nanoTime() - t0) / 1e9 }
+        val tB = { val t0 = System.nanoTime(); noop(chainB()); (System.nanoTime() - t0) / 1e9 }
+        println(f"PROFILE grokab_pair$i shipped=$tA%.2f barrier=$tB%.2f ratio=${tB / tA}%.3f")
+      }
+      cleanup(work); spark.stop(); return
+    }
+
     // PROFILE_MODE=grepindex: term-bloom index payoff at scale — ingest a
     // routed table, time a rare-term grep unindexed vs indexed (3 reps
     // each, interleave-free: the deltas of interest are 5-10× so window
