@@ -57,7 +57,12 @@ object BenchExtra {
     spark.sparkContext.setLogLevel("WARN")
     // aggregate task metrics per timed rep: a slow rep with cpu ≈ fast
     // rep's cpu is host steal / scheduling, a slow rep with inflated gc is
-    // allocation pressure, inflated cpu is real work (guide §7.1)
+    // allocation pressure, inflated cpu is real work (guide §7.1).
+    // CAVEAT (review r6): the listener bus is asynchronous, so a rep's last
+    // task-end events can land after save() returns and bleed into the next
+    // rep's counters — read the r/c/g annotations as ±one-task-tail
+    // approximate, never as a per-rep exact ledger (Bench.scala gets exact
+    // numbers by stopping the session per leg, which drains the bus).
     val acc = new java.util.concurrent.atomic.AtomicLongArray(3)
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {

@@ -69,7 +69,11 @@ object Grep {
           .mkString("\\b", "\\W+", "\\b")
         lower(col("text")).rlike(pat)
       case MatchQuorum(k) =>
-        graft.functions.GraftFunctions.terms_match(col("text"), lowered, k)
+        // k <= 0 degenerates to match-everything (the replaced sum >= k
+        // formulation was constant-true, even for null text); TermsMatch
+        // itself requires minHits >= 1
+        if (k <= 0) lit(true)
+        else graft.functions.GraftFunctions.terms_match(col("text"), lowered, k)
       case MatchProximity(span) =>
         // ∃ window of `span` consecutive tokens containing every term —
         // a codegen'd single-pass byte scan (graft.functions.ProximityMatch;

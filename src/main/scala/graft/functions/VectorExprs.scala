@@ -24,8 +24,11 @@ import org.apache.spark.sql.types._
   *    exactly its zip_with+aggregate's;
   *  - result = ab / (sqrt(aa) * sqrt(bb)), with `d == 0 → 0.0` (NaN d
   *    falls through to ab/d, as `when(d === 0)` did);
-  *  - null in → null out: null array, length mismatch (zip_with pads with
-  *    null → null product → null fold) or any null ELEMENT → null.
+  *  - null in → null out: null array or any null ELEMENT → null; a length
+  *    MISMATCH yields null via the padded dot's null fold UNLESS either
+  *    side has zero norm — the old `when(d === 0, 0.0)` fired before the
+  *    null dot was consulted, so that case stays 0.0 (norms are self-dots
+  *    and never mismatch).
   */
 case class CosineSim(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -156,7 +159,19 @@ object CosineSim {
   def cosine(a: ArrayData, b: ArrayData,
              aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
     val n = a.numElements()
-    if (b.numElements() != n) return null // zip_with pads with null → null fold
+    // Length mismatch: the old formulation computed d = norm(a)*norm(b)
+    // FIRST (self-dots never mismatch) and returned 0.0 when d == 0 before
+    // ever consulting the null dot — so a zero-norm side forces 0.0 even
+    // for ragged inputs; otherwise the padded dot's null fold wins (null).
+    // A null ELEMENT nulls its norm → d null → `when(null === 0)` is not
+    // matched → null. (Review r6 finding; edge pinned in ExprSpec.)
+    if (b.numElements() != n) {
+      val na = normSq(a, aFloat)
+      val nb = normSq(b, bFloat)
+      if (na == null || nb == null) return null
+      val d = math.sqrt(na) * math.sqrt(nb)
+      return if (d == 0) 0.0 else null
+    }
     var ab = 0.0
     var aa = 0.0
     var bb = 0.0
@@ -172,6 +187,20 @@ object CosineSim {
     }
     val d = math.sqrt(aa) * math.sqrt(bb)
     if (d == 0) 0.0 else ab / d
+  }
+
+  /** Σ x², sequential; null if any element is null (≡ the HOF self-dot). */
+  private def normSq(v: ArrayData, isFloat: Boolean): java.lang.Double = {
+    var s = 0.0
+    val n = v.numElements()
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      s += x * x
+      i += 1
+    }
+    s
   }
 
   def cosine_sim(a: Column, b: Column): Column =

@@ -33,6 +33,11 @@ class GrepSpec extends SparkSpec {
     val hits = df.filter(Grep.matchPredicate(Seq("spark", "vector", "table"),
       Grep.MatchQuorum(2))).select($"id").as[Long].collect().toSet
     assert(hits == Set(1L, 2L), s"got $hits")
+    // k <= 0 degenerates to match-everything (Sphinx quorum edge; the
+    // r6 TermsMatch rewrite must keep the degeneracy, review finding)
+    val all = df.filter(Grep.matchPredicate(Seq("spark", "vector"),
+      Grep.MatchQuorum(0))).count()
+    assert(all == 4L, s"quorum 0 must match every row, got $all")
   }
 
   test("proximity match requires all terms within the token span, any order") {

@@ -204,6 +204,8 @@ class ExprSpec extends SparkSpec {
         (Seq.empty[Float], Seq.empty[Float]),          // d == 0 → 0.0
         (Seq(0f, 0f), Seq(1f, 2f)),                    // zero vector → 0.0
         (Seq(1f, 2f), Seq(1f, 2f, 3f)),                // length mismatch → null
+        (Seq.empty[Float], Seq(1f, 2f, 3f)),           // mismatch + zero norm → 0.0
+        (Seq(0f, 0f), Seq(1f, 2f, 3f)),                // mismatch + zero norm → 0.0
         (Seq(Float.NaN, 1f), Seq(1f, 1f)))             // NaN propagates
     val df = rows.toDF("a", "b").cache()
     val fast = df.select(CosineSim.cosine_sim($"a", $"b")).collect()
