@@ -65,9 +65,20 @@ object Grep {
         // Sphinx "phrase": the terms occur as consecutive TOKENS, not as a
         // raw substring — "retry logic" must not match "retry logical…".
         // Token boundaries = \b, token separators = any non-word run.
-        val pat = lowered.map(java.util.regex.Pattern.quote)
-          .mkString("\\b", "\\W+", "\\b")
-        lower(col("text")).rlike(pat)
+        // All-word-char phrases (the common case) compile to ONE codegen'd
+        // byte scan (graft.functions.PhraseMatch, r6): for such terms the
+        // \b…\W+…\b pattern accepts iff the tokenization contains the term
+        // sequence as consecutive tokens — proven equivalent in ExprSpec
+        // (fuzzed vs rlike) and oracle-pinned by q43. Terms carrying
+        // non-word chars (or empty) keep the regex engine: there \W+ can
+        // overlap term content and the token argument breaks down.
+        if (lowered.forall(pureToken))
+          graft.functions.GraftFunctions.phrase_match(col("text"), lowered)
+        else {
+          val pat = lowered.map(java.util.regex.Pattern.quote)
+            .mkString("\\b", "\\W+", "\\b")
+          lower(col("text")).rlike(pat)
+        }
       case MatchQuorum(k) =>
         // k <= 0 degenerates to match-everything (the replaced sum >= k
         // formulation was constant-true, even for null text); TermsMatch

@@ -259,6 +259,8 @@ object GraftFunctions {
     ColumnBridge.column(ProximityMatch(ColumnBridge.expression(text), terms, span))
   def terms_match(text: Column, terms: Seq[String], minHits: Int): Column =
     ColumnBridge.column(TermsMatch(ColumnBridge.expression(text), terms, minHits))
+  def phrase_match(text: Column, terms: Seq[String]): Column =
+    ColumnBridge.column(PhraseMatch(ColumnBridge.expression(text), terms))
   def text_profile(text: Column): Column =
     ColumnBridge.column(TextProfile(ColumnBridge.expression(text)))
 

@@ -325,4 +325,55 @@ class ExprSpec extends SparkSpec {
       assert(interp == gen)
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
+
+  test("phrase_match equals the rlike formulation on fuzzed corpora") {
+    // the replaced formulation (Grep.MatchPhrase before r6), rebuilt verbatim
+    def refPhrase(terms: Seq[String]) = {
+      val pat = terms.map(_.toLowerCase).map(java.util.regex.Pattern.quote)
+        .mkString("\\b", "\\W+", "\\b")
+      lower($"text").rlike(pat)
+    }
+    val vocab = Seq("spark", "table", "scan", "a", "ab", "TaBlE", "x1", "_u")
+    val rng = new scala.util.Random(17)
+    val seps = Seq(" ", ", ", "  --  ", "\t", "!", ".", "\n")
+    val texts = (0 until 600).map { i =>
+      val body = (0 until rng.nextInt(20))
+        .map(_ => vocab(rng.nextInt(vocab.length)))
+        .mkString(seps(rng.nextInt(seps.length)))
+      (if (i % 5 == 0) "!" else "") + body + (if (i % 7 == 0) "," else "")
+    } ++ Seq("", "spark table", "spark  ,  table", "sparky tables",
+      "spark tablex", "xspark table", "spark_table", "spark\ntable",
+      // KMP restart adversaries: partial match whose suffix restarts a match
+      "a a b", "a a a b", "spark spark table", "a ab a a b",
+      "table spark table", "spark table spark table")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text").cache()
+    def rows(c: org.apache.spark.sql.Column): Seq[Long] =
+      df.filter(c).select($"id").as[Long].collect().toSeq.sorted
+    for (terms <- Seq(Seq("spark"), Seq("spark", "table"),
+        Seq("table", "spark"), Seq("a", "a", "b"), Seq("a", "b"),
+        Seq("spark", "spark", "table"), Seq("a", "ab", "a"),
+        Seq("SPARK", "Table"), Seq("_u", "x1"), Seq("a", "a", "a", "b")))
+      assert(rows(GraftFunctions.phrase_match($"text", terms)) ==
+        rows(refPhrase(terms)), s"PHRASE $terms")
+    // non-pure terms stay on the rlike path in Grep (expression requires
+    // pure tokens by construction)
+    intercept[IllegalArgumentException] {
+      graft.functions.PhraseMatch(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"), Seq("a.b"))
+    }
+    // null text → null (filter-equivalent to lower(null).rlike)
+    val nulled = Seq[String](null).toDF("text")
+      .select(GraftFunctions.phrase_match($"text", Seq("a"))).collect()
+    assert(nulled(0).isNullAt(0))
+    // interpreted eval agrees with codegen
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = df.select(GraftFunctions.phrase_match($"text",
+        Seq("spark", "table"))).collect().map(_.getBoolean(0)).toSeq
+      val gen = df.select(refPhrase(Seq("spark", "table"))).collect()
+        .map(_.getBoolean(0)).toSeq
+      assert(interp == gen)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
 }
