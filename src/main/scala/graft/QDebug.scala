@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** Scratch profiler for individual operator queries (tuning tool).
   * Round-6 experiment: phrase match — the replaced
   * `lower(text).rlike("\\bspark\\W+table\\b")` regex pass vs the codegen'd
-  * single-byte-scan PhraseMatch, interleaved A/B at 100k docs.
+  * single-byte-scan PhraseMatch, interleaved A/B at 500k docs.
   */
 object QDebug {
   def main(args: Array[String]): Unit = {

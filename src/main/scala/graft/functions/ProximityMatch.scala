@@ -34,6 +34,9 @@ case class ProximityMatch(child: Expression, terms: Seq[String], span: Int)
 
   override def dataType: DataType = BooleanType
   override def prettyName: String = "proximity_match"
+  // null text → null (nullSafeEval), so the optimizer may infer
+  // isnotnull(text) and push it to the parquet scan (review r6)
+  override def nullIntolerant: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -58,25 +61,7 @@ case class ProximityMatch(child: Expression, terms: Seq[String], span: Int)
 }
 
 object ProximityMatch {
-  @inline private def isWordByte(b: Byte): Boolean =
-    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
-      (b >= '0' && b <= '9') || b == '_'
-
-  /** ASCII-case-insensitive equality of text[start, start+len) vs `term`
-    * (term is pre-lowered; token bytes are word bytes by construction).
-    */
-  private def eqFolded(text: UTF8String, start: Int, len: Int,
-                       term: Array[Byte]): Boolean = {
-    if (term.length != len) return false
-    var j = 0
-    while (j < len) {
-      var c = text.getByte(start + j)
-      if (c >= 'A' && c <= 'Z') c = (c + 32).toByte
-      if (c != term(j)) return false
-      j += 1
-    }
-    true
-  }
+  import ByteScan.{eqFolded, isWordByte}
 
   /** Static helper shared by interpreted eval and generated code. */
   def matches(text: UTF8String, terms: Array[Array[Byte]], span: Int): Boolean = {

@@ -40,6 +40,13 @@ case class TermsMatch(child: Expression, terms: Seq[String], minHits: Int)
 
   override def dataType: DataType = BooleanType
   override def prettyName: String = "terms_match"
+  // null text → null (nullSafeEval), so the optimizer may infer
+  // isnotnull(text) and push it to the parquet scan — the ANY/ALL
+  // array_contains formulation this replaced had that pushdown; for
+  // QUORUM the old sum>=k shape evaluated null text to false, which is
+  // filter-equivalent (both drop the row), so the inference is sound
+  // there too (review r6)
+  override def nullIntolerant: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -88,22 +95,7 @@ object TermsMatch {
       emptyMult)
   }
 
-  @inline private def isWordByte(b: Byte): Boolean =
-    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
-      (b >= '0' && b <= '9') || b == '_'
-
-  private def eqFolded(text: UTF8String, start: Int, len: Int,
-                       term: Array[Byte]): Boolean = {
-    if (term.length != len) return false
-    var j = 0
-    while (j < len) {
-      var c = text.getByte(start + j)
-      if (c >= 'A' && c <= 'Z') c = (c + 32).toByte
-      if (c != term(j)) return false
-      j += 1
-    }
-    true
-  }
+  import ByteScan.{eqFolded, isWordByte}
 
   /** Static helper shared by interpreted eval and generated code. */
   def matches(text: UTF8String, c: Compiled, minHits: Int): Boolean = {
